@@ -1,0 +1,139 @@
+"""Shared low-level layers (NHWC, bf16-compute/fp32-stat policy).
+
+TPU-first counterparts of the torch primitives the reference pulls from
+diffusers: GroupNorm/LayerNorm with fp32 statistics, timestep sinusoids, and
+torch-padding-compatible convolutions (explicit ((1,1),(1,1)) padding so a
+stride-2 k3 conv halves even inputs exactly like torch Conv2d(p=1)).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from powerpaint_tpu.ops.groupnorm import group_norm, layer_norm
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, silu: bool = False):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        beta = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return group_norm(
+            x, gamma, beta, num_groups=self.num_groups, eps=self.eps, silu=silu
+        )
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        beta = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return layer_norm(x, gamma, beta, eps=self.eps)
+
+
+def conv(
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    padding: Union[int, str] = 1,
+    *,
+    dtype=jnp.bfloat16,
+    param_dtype=jnp.float32,
+    name: Optional[str] = None,
+    use_bias: bool = True,
+) -> nn.Conv:
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def dense(
+    features: int,
+    *,
+    dtype=jnp.bfloat16,
+    param_dtype=jnp.float32,
+    use_bias: bool = True,
+    name: Optional[str] = None,
+) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def timestep_sinusoid(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep features (diffusers ``Timesteps`` semantics,
+    used by reference BrushNet_CA.py:232 and the base UNet). fp32."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin], axis=-1) if flip_sin_to_cos else jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear (diffusers TimestepEmbedding)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    cond_proj_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, sample, condition=None):
+        if condition is not None and self.cond_proj_dim is not None:
+            cond = dense(
+                sample.shape[-1],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_bias=False,
+                name="cond_proj",
+            )(condition)
+            sample = sample + cond
+        h = dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_1",
+        )(sample)
+        h = nn.silu(h)
+        h = dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_2",
+        )(h)
+        return h

@@ -1,0 +1,219 @@
+"""Conditional UNet2D (SD1.5 family) with BrushNet / ControlNet injection.
+
+TPU-native counterpart of the reference's forked
+``UNet2DConditionModel`` (/root/reference/powerpaint/models/unet_2d_condition.py:70-1363).
+Differences by design (SURVEY.md §7):
+
+- NHWC activations, bf16 compute, fp32 norm statistics;
+- BrushNet features arrive as a fixed-length tuple (pytree) whose slicing is
+  derived statically from the config tap schedule, replacing the reference's
+  mutable-list ``pop(0)`` protocol (unet_2d_condition.py:1222-1348);
+- injection order preserved exactly: one tensor after conv_in, one after each
+  down-resnet(+attn) BEFORE the skip is recorded, one after each downsampler,
+  one after mid, one after each up-resnet(+attn) and upsampler;
+- ControlNet residuals (down_block_additional_residuals /
+  mid_block_additional_residual) are added onto the recorded skip tensors
+  (unet_2d_condition.py:1264-1276), the classic ControlNet contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from powerpaint_tpu.core.config import (
+    CROSS_ATTN_DOWN,
+    CROSS_ATTN_UP,
+    MID_CROSS_ATTN,
+    MID_RESNET,
+    UNetConfig,
+)
+from powerpaint_tpu.models.blocks import (
+    CrossAttnDownBlock2D,
+    CrossAttnUpBlock2D,
+    DownBlock2D,
+    MidBlock2D,
+    UNetMidBlock2DCrossAttn,
+    UpBlock2D,
+)
+from powerpaint_tpu.models.layers import TimestepEmbedding, conv, timestep_sinusoid
+from powerpaint_tpu.models.resnet import ResnetBlock2D  # noqa: F401 (re-export)
+
+Taps = Optional[Tuple[jnp.ndarray, ...]]
+
+
+def _down_tap_counts(cfg: UNetConfig) -> Tuple[int, ...]:
+    counts = []
+    for i in range(len(cfg.down_block_types)):
+        is_final = i == len(cfg.down_block_types) - 1
+        counts.append(cfg.layers_per_block + (0 if is_final else 1))
+    return tuple(counts)
+
+
+def _up_tap_counts(cfg: UNetConfig) -> Tuple[int, ...]:
+    counts = []
+    for i in range(len(cfg.up_block_types)):
+        is_final = i == len(cfg.up_block_types) - 1
+        counts.append(cfg.layers_per_block + 1 + (0 if is_final else 1))
+    return tuple(counts)
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, C_in) NHWC
+        timesteps: jnp.ndarray,  # (B,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B, 77, 768)
+        *,
+        down_block_add_samples: Taps = None,  # brushnet, len = 1 + sum(down)
+        mid_block_add_sample: Optional[jnp.ndarray] = None,
+        up_block_add_samples: Taps = None,  # brushnet, len = sum(up)
+        down_block_additional_residuals: Taps = None,  # controlnet (12)
+        mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        timestep_cond: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        is_brushnet = down_block_add_samples is not None
+        is_controlnet = down_block_additional_residuals is not None
+
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # 1. time embedding (fp32 sinusoid -> MLP)
+        t_emb = timestep_sinusoid(
+            timesteps, cfg.block_out_channels[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift,
+        ).astype(self.dtype)
+        temb = TimestepEmbedding(
+            cfg.block_out_channels[0] * 4, self.dtype, self.param_dtype,
+            cond_proj_dim=cfg.time_cond_proj_dim, name="time_embedding",
+        )(t_emb, timestep_cond)
+
+        # 2. conv_in
+        sample = sample.astype(self.dtype)
+        encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+        x = conv(
+            cfg.block_out_channels[0], cfg.conv_in_kernel, 1,
+            (cfg.conv_in_kernel - 1) // 2, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv_in",
+        )(sample)
+
+        # skip recorded BEFORE brushnet conv_in injection
+        # (reference unet_2d_condition.py:1220-1223)
+        skips = [x]
+        if is_brushnet:
+            down_taps = list(down_block_add_samples)
+            x = x + down_taps.pop(0)
+
+        # 3. down
+        down_counts = _down_tap_counts(cfg)
+        for i, block_type in enumerate(cfg.down_block_types):
+            ch = cfg.block_out_channels[i]
+            is_final = i == len(cfg.down_block_types) - 1
+            taps = None
+            if is_brushnet:
+                taps = tuple(down_taps[: down_counts[i]])
+                down_taps = down_taps[down_counts[i]:]
+            common = dict(
+                out_channels=ch,
+                num_layers=cfg.layers_per_block,
+                add_downsample=not is_final,
+                resnet_eps=cfg.norm_eps,
+                groups=cfg.norm_num_groups,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+            if block_type == CROSS_ATTN_DOWN:
+                x, block_skips = CrossAttnDownBlock2D(
+                    num_heads=cfg.num_heads,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    use_linear_projection=cfg.use_linear_projection,
+                    name=f"down_blocks_{i}",
+                    **common,
+                )(x, temb, encoder_hidden_states, taps)
+            else:
+                x, block_skips = DownBlock2D(
+                    name=f"down_blocks_{i}", **common
+                )(x, temb, None, taps)
+            skips.extend(block_skips)
+
+        if is_controlnet:
+            skips = [s + r for s, r in zip(skips, down_block_additional_residuals)]
+
+        # 4. mid
+        if cfg.mid_block_type == MID_CROSS_ATTN:
+            x = UNetMidBlock2DCrossAttn(
+                cfg.block_out_channels[-1], cfg.num_heads,
+                cfg.transformer_layers_per_block, cfg.norm_eps,
+                cfg.norm_num_groups, cfg.use_linear_projection, self.dtype,
+                self.param_dtype, name="mid_block",
+            )(x, temb, encoder_hidden_states)
+        elif cfg.mid_block_type == MID_RESNET:
+            x = MidBlock2D(
+                cfg.block_out_channels[-1], cfg.norm_eps, cfg.norm_num_groups,
+                self.dtype, self.param_dtype, name="mid_block",
+            )(x, temb)
+        else:
+            raise ValueError(cfg.mid_block_type)
+
+        if is_controlnet and mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual
+        if is_brushnet and mid_block_add_sample is not None:
+            x = x + mid_block_add_sample
+
+        # 5. up
+        up_counts = _up_tap_counts(cfg)
+        up_taps = list(up_block_add_samples) if up_block_add_samples else None
+        reversed_ch = tuple(reversed(cfg.block_out_channels))
+        for i, block_type in enumerate(cfg.up_block_types):
+            ch = reversed_ch[i]
+            is_final = i == len(cfg.up_block_types) - 1
+            n_res = cfg.layers_per_block + 1
+            block_skips, skips = skips[-n_res:], skips[:-n_res]
+            output_size = skips[-1].shape[1:3] if skips else None
+            taps = None
+            if up_taps is not None:
+                taps = tuple(up_taps[: up_counts[i]])
+                up_taps = up_taps[up_counts[i]:]
+            common = dict(
+                out_channels=ch,
+                num_layers=n_res,
+                add_upsample=not is_final,
+                resnet_eps=cfg.norm_eps,
+                groups=cfg.norm_num_groups,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )
+            if block_type == CROSS_ATTN_UP:
+                x, _ = CrossAttnUpBlock2D(
+                    num_heads=cfg.num_heads,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    use_linear_projection=cfg.use_linear_projection,
+                    name=f"up_blocks_{i}",
+                    **common,
+                )(x, temb, block_skips, encoder_hidden_states, taps,
+                  output_size=output_size)
+            else:
+                x, _ = UpBlock2D(
+                    name=f"up_blocks_{i}", **common
+                )(x, temb, block_skips, None, taps, output_size=output_size)
+
+        # 6. out
+        from powerpaint_tpu.models.layers import GroupNorm
+
+        x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, self.param_dtype,
+                      name="conv_norm_out")(x, silu=True)
+        x = conv(
+            cfg.out_channels, cfg.conv_out_kernel, 1,
+            (cfg.conv_out_kernel - 1) // 2, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv_out",
+        )(x)
+        return x

@@ -1,0 +1,218 @@
+"""AutoencoderKL (SD1.5 VAE) — NHWC, TPU-native.
+
+Counterpart of diffusers ``AutoencoderKL`` as used by the reference
+(pipeline_PowerPaint.py:27, 657-669: encode -> latent_dist.sample() x 0.18215;
+:1051 decode(latents / 0.18215)).  The VAE attention mid-block is standard
+single-head attention over 64x64=4096 tokens at 512 channels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from powerpaint_tpu.core.config import VAEConfig
+from powerpaint_tpu.models.layers import GroupNorm, conv, dense
+from powerpaint_tpu.models.resnet import ResnetBlock2D, Upsample2D
+from powerpaint_tpu.ops.attention import attention
+
+
+class VAEAttention(nn.Module):
+    """Single-head self-attention block (diffusers ``Attention`` in VAE mid)."""
+
+    channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        y = GroupNorm(self.groups, 1e-6, self.param_dtype, name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q")(y)
+        k = dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_k")(y)
+        v = dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_v")(y)
+        out = attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual
+
+
+class DownEncoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, 1e-6, self.groups, use_time_emb=False,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"resnets_{i}",
+            )(x)
+        if self.add_downsample:
+            # VAE downsample uses asymmetric (0,1) padding in torch
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="downsamplers_0",
+            )(x)
+        return x
+
+
+class UpDecoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, 1e-6, self.groups, use_time_emb=False,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"resnets_{i}",
+            )(x)
+        if self.add_upsample:
+            x = Upsample2D(
+                self.out_channels, self.dtype, self.param_dtype,
+                name="upsamplers_0",
+            )(x)
+        return x
+
+
+class MidBlock(nn.Module):
+    channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResnetBlock2D(
+            self.channels, 1e-6, self.groups, use_time_emb=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="resnets_0",
+        )(x)
+        x = VAEAttention(self.channels, self.groups, self.dtype,
+                         self.param_dtype, name="attentions_0")(x)
+        x = ResnetBlock2D(
+            self.channels, 1e-6, self.groups, use_time_emb=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="resnets_1",
+        )(x)
+        return x
+
+
+class Encoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = x.astype(self.dtype)
+        x = conv(cfg.block_out_channels[0], 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_in")(x)
+        for i, ch in enumerate(cfg.block_out_channels):
+            is_final = i == len(cfg.block_out_channels) - 1
+            x = DownEncoderBlock2D(
+                ch, cfg.layers_per_block, not is_final, cfg.norm_num_groups,
+                self.dtype, self.param_dtype, name=f"down_blocks_{i}",
+            )(x)
+        x = MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
+                     self.dtype, self.param_dtype, name="mid_block")(x)
+        x = GroupNorm(cfg.norm_num_groups, 1e-6, self.param_dtype,
+                      name="conv_norm_out")(x, silu=True)
+        x = conv(2 * cfg.latent_channels, 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_out")(x)
+        # quant_conv maps moments -> moments (1x1)
+        x = conv(2 * cfg.latent_channels, 1, 1, 0, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="quant_conv")(x)
+        return x  # (B, H/8, W/8, 2*latent) = mean ++ logvar
+
+
+class Decoder(nn.Module):
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        z = z.astype(self.dtype)
+        z = conv(cfg.latent_channels, 1, 1, 0, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="post_quant_conv")(z)
+        x = conv(cfg.block_out_channels[-1], 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_in")(z)
+        x = MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
+                     self.dtype, self.param_dtype, name="mid_block")(x)
+        reversed_ch = tuple(reversed(cfg.block_out_channels))
+        for i, ch in enumerate(reversed_ch):
+            is_final = i == len(reversed_ch) - 1
+            x = UpDecoderBlock2D(
+                ch, cfg.layers_per_block + 1, not is_final,
+                cfg.norm_num_groups, self.dtype, self.param_dtype,
+                name=f"up_blocks_{i}",
+            )(x)
+        x = GroupNorm(cfg.norm_num_groups, 1e-6, self.param_dtype,
+                      name="conv_norm_out")(x, silu=True)
+        x = conv(cfg.out_channels, 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_out")(x)
+        return x
+
+
+class AutoencoderKL(nn.Module):
+    """Use via ``.apply(params, x, method='encode'/'decode'/'sample')``."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.config, self.dtype, self.param_dtype)
+        self.decoder = Decoder(self.config, self.dtype, self.param_dtype)
+
+    def encode(self, x):
+        """Returns (mean, logvar) of the latent distribution (unscaled)."""
+        moments = self.encoder(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        return mean, logvar
+
+    def sample(self, x, rng):
+        """Encode and draw one latent sample, scaled by scaling_factor
+        (reference pipeline_PowerPaint.py:657-669)."""
+        mean, logvar = self.encode(x)
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        noise = jax.random.normal(rng, mean.shape, dtype=jnp.float32)
+        z = mean.astype(jnp.float32) + std * noise
+        return (z * self.config.scaling_factor).astype(mean.dtype)
+
+    def encode_mode(self, x):
+        """Deterministic encode (distribution mode), scaled."""
+        mean, _ = self.encode(x)
+        return mean * self.config.scaling_factor
+
+    def decode(self, z):
+        """Decode latents (callers divide by scaling_factor first, matching
+        reference pipeline_PowerPaint.py:1051)."""
+        return self.decoder(z)
+
+    def __call__(self, x, rng):
+        z = self.sample(x, rng)
+        return self.decode(z / self.config.scaling_factor)

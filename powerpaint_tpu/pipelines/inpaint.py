@@ -1,0 +1,243 @@
+"""ppt-v1 pipeline: task-prompted SD-inpainting (9-channel UNet).
+
+TPU-native counterpart of the reference ``StableDiffusionInpaintPipeline``
+(/root/reference/powerpaint/pipelines/pipeline_PowerPaint.py:156-1071),
+re-architected per SURVEY.md §7:
+
+- ONE jit-compiled ``generate``: batched text encode (promptA/B + negatives
+  as 4 rows of one CLIP forward, vs 4 sequential forwards in the reference),
+  VAE encode, ``lax.scan`` denoise loop with CFG folded into the batch axis,
+  VAE decode;
+- A/B fitting-degree blend ``emb = A*t + (1-t)*B`` (pipeline_PowerPaint.py:423,499);
+- 9-channel concat [latent, mask, masked_image_latents] per step (:996);
+- strength<1 truncates the schedule and re-noises the init image (:713-720);
+- 4-channel UNets additionally blend the known region each step (:1025-1035).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from powerpaint_tpu.core.config import PowerPaintConfig
+from powerpaint_tpu.models.clip_text import CLIPTextModel
+from powerpaint_tpu.models.unet import UNet2DConditionModel
+from powerpaint_tpu.models.vae import AutoencoderKL
+from powerpaint_tpu.schedulers import ddim
+from powerpaint_tpu.schedulers.common import (
+    DiffusionSchedule,
+    add_noise,
+    make_schedule,
+)
+from powerpaint_tpu.tasks.postprocess import latents_image_to_uint8
+from powerpaint_tpu.tasks.preprocess import prepare_inpaint_inputs
+from powerpaint_tpu.text.prompts import TaskPrompts, add_task
+from powerpaint_tpu.text.tokenizer import TokenizerWrapper
+
+
+@dataclasses.dataclass
+class InpaintPipeline:
+    config: PowerPaintConfig
+    params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
+    tokenizer: TokenizerWrapper
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        cfg = self.config
+        self.unet = UNet2DConditionModel(cfg.unet, dtype=self.dtype)
+        self.vae = AutoencoderKL(cfg.vae, dtype=self.dtype)
+        self.text_encoder = CLIPTextModel(cfg.text_encoder, dtype=self.dtype)
+        self._generate = jax.jit(
+            self._generate_fn, static_argnames=("num_steps", "strength_steps")
+        )
+
+    # ------------------------------------------------------------------ jit
+
+    def _encode_text(self, params, ids):
+        return self.text_encoder.apply({"params": params}, ids)
+
+    def _denoise_loop(
+        self,
+        params,
+        sched: DiffusionSchedule,
+        latents: jnp.ndarray,  # (B, h, w, 4)
+        mask_lat: jnp.ndarray,  # (2B, h, w, 1) CFG-doubled
+        masked_lat: jnp.ndarray,  # (2B, h, w, 4)
+        cond: jnp.ndarray,  # (2B, 77, 768) [neg; pos]
+        guidance_scale: jnp.ndarray,
+        *,
+        image_latents: Optional[jnp.ndarray] = None,
+        known_mask: Optional[jnp.ndarray] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        unet_params = params["unet"]
+        is_9ch = self.config.unet.in_channels == 9
+        b = latents.shape[0]
+
+        def body(carry, i):
+            latents, state = carry
+            lmi = jnp.concatenate([latents, latents], axis=0)
+            lmi = ddim.scale_model_input(sched, lmi, i)
+            if is_9ch:
+                lmi = jnp.concatenate([lmi, mask_lat, masked_lat], axis=-1)
+            t = sched.timesteps[i]
+            eps = self.unet.apply(
+                {"params": unet_params}, lmi, t, cond
+            ).astype(jnp.float32)
+            eps_u, eps_t = eps[:b], eps[b:]
+            eps = eps_u + guidance_scale * (eps_t - eps_u)
+            latents, state = ddim.step(sched, state, eps, i, latents)
+            if not is_9ch and image_latents is not None:
+                # blend known region with re-noised image latents (:1025-1035)
+                t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
+                init_proper = jnp.where(
+                    i < sched.num_steps - 1,
+                    add_noise(sched, image_latents, noise, t_next),
+                    image_latents,
+                )
+                m = known_mask[:b]
+                latents = (1.0 - m) * init_proper + m * latents
+            return (latents, state), None
+
+        state = ddim.init_state(sched, latents.shape, latents.dtype)
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, state), jnp.arange(sched.num_steps)
+        )
+        return latents
+
+    def _generate_fn(
+        self,
+        params,
+        ids: jnp.ndarray,  # (4, 77) [A, B, negA, negB]
+        tradoff: jnp.ndarray,
+        tradoff_nag: jnp.ndarray,
+        init_image: jnp.ndarray,  # (B, H, W, 3) in [-1, 1]
+        mask: jnp.ndarray,  # (B, H, W, 1) {0,1}
+        masked_image: jnp.ndarray,  # (B, H, W, 3)
+        guidance_scale: jnp.ndarray,
+        rng: jax.Array,
+        latents_in: Optional[jnp.ndarray],
+        num_steps: int,
+        strength_steps: int,
+    ):
+        sched = make_schedule(self.config.scheduler, num_steps)
+        if strength_steps < num_steps:
+            # strength<1: truncate to the last `strength_steps` timesteps
+            sched = dataclasses.replace(
+                sched,
+                timesteps=sched.timesteps[num_steps - strength_steps :],
+                prev_timesteps=sched.prev_timesteps[num_steps - strength_steps :],
+                num_steps=strength_steps,
+            )
+        b, h, w, _ = init_image.shape
+        h8, w8 = h // 8, w // 8
+
+        # --- text ---
+        embeds = self._encode_text(params["text_encoder"], ids)
+        eA, eB, nA, nB = jnp.split(embeds, 4, axis=0)
+        pos = eA * tradoff + (1.0 - tradoff) * eB
+        neg = nA * tradoff_nag + (1.0 - tradoff_nag) * nB
+        cond = jnp.concatenate(
+            [jnp.repeat(neg, b, 0), jnp.repeat(pos, b, 0)], axis=0
+        )
+
+        # --- latents ---
+        rng_noise, rng_vae, rng_img = jax.random.split(rng, 3)
+        masked_lat = self.vae.apply(
+            {"params": params["vae"]}, masked_image, rng_vae, method="sample"
+        ).astype(jnp.float32)
+        mask_lat = jax.image.resize(mask, (b, h8, w8, 1), method="nearest")
+        mask_lat2 = jnp.concatenate([mask_lat, mask_lat], axis=0)
+        masked_lat2 = jnp.concatenate([masked_lat, masked_lat], axis=0)
+
+        noise = jax.random.normal(rng_noise, (b, h8, w8, 4), dtype=jnp.float32)
+        image_latents = None
+        if strength_steps < num_steps or self.config.unet.in_channels == 4:
+            image_latents = self.vae.apply(
+                {"params": params["vae"]}, init_image, rng_img, method="sample"
+            ).astype(jnp.float32)
+        if latents_in is not None:
+            latents = latents_in * sched.init_noise_sigma
+        elif strength_steps < num_steps:
+            latents = add_noise(sched, image_latents, noise, sched.timesteps[0])
+        else:
+            latents = noise * sched.init_noise_sigma
+
+        latents = self._denoise_loop(
+            params, sched, latents, mask_lat2, masked_lat2, cond,
+            guidance_scale, image_latents=image_latents, known_mask=mask_lat,
+            noise=noise,
+        )
+
+        image = self.vae.apply(
+            {"params": params["vae"]},
+            (latents / self.config.vae.scaling_factor).astype(self.dtype),
+            method="decode",
+        )
+        return image.astype(jnp.float32)
+
+    # ----------------------------------------------------------------- host
+
+    def encode_task(self, prompts: TaskPrompts) -> np.ndarray:
+        return self.tokenizer(
+            [
+                prompts.promptA,
+                prompts.promptB,
+                prompts.negative_promptA,
+                prompts.negative_promptB,
+            ]
+        )
+
+    def __call__(
+        self,
+        image,
+        mask,
+        prompt: str = "",
+        negative_prompt: str = "",
+        task: str = "text-guided",
+        fitting_degree: float = 1.0,
+        num_inference_steps: int = 45,
+        guidance_scale: float = 7.5,
+        strength: float = 1.0,
+        seed: int = 0,
+        latents: Optional[np.ndarray] = None,
+        output_type: str = "uint8",
+    ):
+        """Full inpainting call (reference __call__ surface,
+        pipeline_PowerPaint.py:978-1071 + app.py predict routing)."""
+        from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
+
+        img = to_numpy_image(image)
+        msk = to_numpy_mask(mask)
+        init, m, masked = prepare_inpaint_inputs(img, msk)
+
+        task_prompts = add_task(prompt, negative_prompt, task, "ppt-v1")
+        ids = self.encode_task(task_prompts)
+
+        strength_steps = min(
+            int(num_inference_steps * strength), num_inference_steps
+        )
+        rng = jax.random.PRNGKey(seed)
+        out = self._generate(
+            self.params,
+            jnp.asarray(ids),
+            jnp.float32(fitting_degree),
+            jnp.float32(fitting_degree),
+            jnp.asarray(init),
+            jnp.asarray(m),
+            jnp.asarray(masked),
+            jnp.float32(guidance_scale),
+            rng,
+            None if latents is None else jnp.asarray(latents),
+            num_steps=num_inference_steps,
+            strength_steps=strength_steps,
+        )
+        out = np.asarray(out)
+        if output_type == "uint8":
+            return latents_image_to_uint8(out)
+        return out

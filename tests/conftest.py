@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device virtual CPU mesh (SURVEY.md §4 item 3).
+
+Must set env vars before jax initializes a backend.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the remote-TPU ("axon")
+# backend and sets jax_platforms="axon,cpu"; tests must run on the local
+# 8-device virtual CPU mesh, so override after import (backend init is lazy).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,91 @@
+"""End-to-end ppt-v1 pipeline on the tiny stack (CPU-runnable,
+BASELINE.json config #1)."""
+
+import jax
+import numpy as np
+import pytest
+
+from powerpaint_tpu.io.params import init_params
+from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+from powerpaint_tpu.testing import tiny_v1_config
+from powerpaint_tpu.text.tokenizer import HashTokenizer, TokenizerWrapper, add_task_tokens
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)  # -> ids 994..1023 map into the tiny 1024-row table
+    return InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.RandomState(0)
+    image = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    return image, mask
+
+
+def test_text_guided_inpaint(pipe, inputs):
+    image, mask = inputs
+    out = pipe(image, mask, prompt="a red ball", task="text-guided",
+               num_inference_steps=3, seed=7)
+    assert out.shape == (1, 64, 64, 3)
+    assert out.dtype == np.uint8
+
+
+def test_deterministic_given_seed(pipe, inputs):
+    image, mask = inputs
+    a = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3)
+    b = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3)
+    np.testing.assert_array_equal(a, b)
+    c = pipe(image, mask, prompt="x", num_inference_steps=2, seed=4)
+    assert not np.array_equal(a, c)
+
+
+def test_fitting_degree_blends(pipe, inputs):
+    image, mask = inputs
+    lo = pipe(image, mask, prompt="a dog", task="shape-guided",
+              fitting_degree=0.2, num_inference_steps=2, seed=1)
+    hi = pipe(image, mask, prompt="a dog", task="shape-guided",
+              fitting_degree=0.9, num_inference_steps=2, seed=1)
+    assert not np.array_equal(lo, hi)
+
+
+def test_object_removal_task(pipe, inputs):
+    image, mask = inputs
+    out = pipe(image, mask, task="object-removal", guidance_scale=12.0,
+               num_inference_steps=2, seed=0)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_strength_truncates(pipe, inputs):
+    image, mask = inputs
+    out = pipe(image, mask, prompt="y", strength=0.5,
+               num_inference_steps=4, seed=0)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_outpainting_canvas(pipe):
+    from powerpaint_tpu.tasks.preprocess import outpaint_canvas
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    canvas, mask = outpaint_canvas(img, 1.5, 1.5)
+    assert canvas.shape[0] == 72 and canvas.shape[1] == 72
+    # center keeps original, border is masked
+    assert mask[0, 0] == 1.0
+    assert mask[36, 36] == 0.0
+    canvas8 = canvas[: canvas.shape[0] - canvas.shape[0] % 8,
+                     : canvas.shape[1] - canvas.shape[1] % 8]
+    mask8 = mask[: mask.shape[0] - mask.shape[0] % 8,
+                 : mask.shape[1] - mask.shape[1] % 8]
+    out = pipe(canvas8, mask8, task="image-outpainting",
+               num_inference_steps=2, seed=0)
+    assert out.shape == (1, 72, 72, 3)
