@@ -1,0 +1,93 @@
+"""Benchmark: full-size ppt-v1 inpainting on real TPU.
+
+Measures images/sec/chip at 512x512, 20-step DDIM CFG inpainting (the
+BASELINE.json target: >= 1.5 img/s/chip) plus p50 per-denoise-step latency,
+on the flagship SD1.5-inpainting stack (random weights — identical FLOPs to
+converted checkpoints).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.core.config import ppt_v1_config
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    platform = jax.devices()[0].platform
+    cfg = ppt_v1_config()
+
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
+                         dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    tok = TokenizerWrapper(HashTokenizer())
+    add_task_tokens(tok)
+    pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
+    mask = np.zeros((512, 512), np.float32)
+    mask[128:384, 128:384] = 1.0
+
+    def run(steps, seed=0):
+        return pipe(image, mask, prompt="a red sports car", seed=seed,
+                    num_inference_steps=steps, output_type="float")
+
+    # warmup / compile (two step counts -> two executables)
+    t0 = time.time()
+    run(20)
+    compile_20 = time.time() - t0
+    t0 = time.time()
+    run(10)
+    compile_10 = time.time() - t0
+
+    def timed(steps, n=3):
+        ts = []
+        for i in range(n):
+            t0 = time.time()
+            out = run(steps, seed=i)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    t20 = timed(20)
+    t10 = timed(10)
+    per_step = (t20 - t10) / 10.0  # slope: marginal denoise-step latency
+    imgs_per_sec = 1.0 / t20
+
+    result = {
+        "metric": "images/sec/chip @512x512 20-step ppt-v1 inpaint",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(imgs_per_sec / 1.5, 4),
+        "extra": {
+            "platform": platform,
+            "t_total_20step_s": round(t20, 4),
+            "t_total_10step_s": round(t10, 4),
+            "p50_step_latency_ms": round(per_step * 1000, 2),
+            "compile_s": round(compile_20 + compile_10, 1),
+            "batch": 1,
+            "dtype": "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""ppt-v2 pipeline: BrushNet dual-branch inpainting with preserved cross-attn.
+
+TPU-native counterpart of the reference
+``StableDiffusionPowerPaintBrushNetPipeline``
+(/root/reference/powerpaint/pipelines/pipeline_PowerPaint_Brushnet_CA.py:131-1497):
+
+- TWO text encoders (asymmetric conditioning, :1252-1268): the BrushNet
+  branch sees the fitting-degree-blended TASK-token embeddings
+  (text_encoder_brushnet); the frozen base UNet sees the plain promptU;
+- 5-channel conditioning latents = vae(masked image)*sf ++ mask/8
+  (:1338-1345), where the mask channel is 1.0 on PRESERVED pixels (the
+  reference derives it as ``(normalized mask).sum(1) < 0``, :1312 — i.e.
+  dark pixels of the mask image);
+- per step: one BrushNet forward (2B CFG batch, task embeds) -> 28 taps ->
+  one base-UNet forward (2B, plain embeds) with per-block injection
+  (:1383-1466), UniPC step;
+- ``control_guidance_start/end`` step gating precomputed into a per-step
+  conditioning-scale table (:1370-1376) — static, gathered inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from powerpaint_tpu.core.config import PowerPaintConfig
+from powerpaint_tpu.models.brushnet import BrushNetModel
+from powerpaint_tpu.models.clip_text import CLIPTextModel
+from powerpaint_tpu.models.unet import UNet2DConditionModel
+from powerpaint_tpu.models.vae import AutoencoderKL
+from powerpaint_tpu.schedulers import unipc
+from powerpaint_tpu.tasks.postprocess import latents_image_to_uint8
+from powerpaint_tpu.tasks.preprocess import (
+    premask_image_v2,
+    to_numpy_image,
+    to_numpy_mask,
+)
+from powerpaint_tpu.text.prompts import TaskPrompts, add_task, v2_prompt_suffix
+from powerpaint_tpu.text.tokenizer import TokenizerWrapper
+
+
+@dataclasses.dataclass
+class BrushNetPipeline:
+    config: PowerPaintConfig
+    params: dict  # unet, vae, brushnet, text_encoder (plain),
+    #               text_encoder_brushnet (task tokens)
+    tokenizer: TokenizerWrapper
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        cfg = self.config
+        assert cfg.brushnet is not None
+        self.unet = UNet2DConditionModel(cfg.unet, dtype=self.dtype)
+        self.brushnet = BrushNetModel(cfg.brushnet, dtype=self.dtype)
+        self.vae = AutoencoderKL(cfg.vae, dtype=self.dtype)
+        self.text_task = CLIPTextModel(cfg.text_encoder, dtype=self.dtype)
+        self.text_plain = CLIPTextModel(
+            cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
+        )
+        self._generate = jax.jit(
+            self._generate_fn, static_argnames=("num_steps",)
+        )
+
+    def _generate_fn(
+        self,
+        params,
+        ids_task: jnp.ndarray,  # (4, 77) [A, B, negA, negB]
+        ids_plain: jnp.ndarray,  # (2, 77) [U, negU]
+        tradoff: jnp.ndarray,
+        tradoff_nag: jnp.ndarray,
+        masked_image: jnp.ndarray,  # (B, H, W, 3) pre-masked, [-1, 1]
+        keep_mask: jnp.ndarray,  # (B, H, W, 1) 1.0 on PRESERVED pixels
+        guidance_scale: jnp.ndarray,
+        cond_scale_table: jnp.ndarray,  # (S,) brushnet scale per step
+        rng: jax.Array,
+        latents_in: Optional[jnp.ndarray],
+        num_steps: int,
+    ):
+        sched = unipc.make_unipc_schedule(self.config.scheduler, num_steps)
+        b, h, w, _ = masked_image.shape
+        h8, w8 = h // 8, w // 8
+
+        # --- text: task embeds (A/B blend) + plain embeds ---
+        emb_task = self.text_task.apply(
+            {"params": params["text_encoder_brushnet"]}, ids_task
+        )
+        eA, eB, nA, nB = jnp.split(emb_task, 4, axis=0)
+        pos_t = eA * tradoff + (1.0 - tradoff) * eB
+        neg_t = nA * tradoff_nag + (1.0 - tradoff_nag) * nB
+        cond_task = jnp.concatenate(
+            [jnp.repeat(neg_t, b, 0), jnp.repeat(pos_t, b, 0)], axis=0
+        )
+        emb_plain = self.text_plain.apply(
+            {"params": params["text_encoder"]}, ids_plain
+        )
+        eU, nU = jnp.split(emb_plain, 2, axis=0)
+        cond_plain = jnp.concatenate(
+            [jnp.repeat(nU, b, 0), jnp.repeat(eU, b, 0)], axis=0
+        )
+
+        # --- conditioning latents (5ch), CFG-doubled ---
+        rng_noise, rng_vae = jax.random.split(rng)
+        cond_lat = self.vae.apply(
+            {"params": params["vae"]}, masked_image, rng_vae, method="sample"
+        ).astype(jnp.float32)
+        mask8 = jax.image.resize(keep_mask, (b, h8, w8, 1), method="nearest")
+        cond5 = jnp.concatenate([cond_lat, mask8], axis=-1)
+        cond5 = jnp.concatenate([cond5, cond5], axis=0)
+
+        if latents_in is not None:
+            latents = latents_in * sched.init_noise_sigma
+        else:
+            latents = jax.random.normal(
+                rng_noise, (b, h8, w8, 4), jnp.float32
+            ) * sched.init_noise_sigma
+
+        def body(carry, i):
+            latents, state = carry
+            lmi = jnp.concatenate([latents, latents], axis=0)
+            lmi = unipc.scale_model_input(sched, lmi, i)
+            t = sched.timesteps[i]
+            down, mid, up = self.brushnet.apply(
+                {"params": params["brushnet"]}, lmi, t, cond_task, cond5,
+                conditioning_scale=cond_scale_table[i],
+            )
+            eps = self.unet.apply(
+                {"params": params["unet"]}, lmi, t, cond_plain,
+                down_block_add_samples=down,
+                mid_block_add_sample=mid,
+                up_block_add_samples=up,
+            ).astype(jnp.float32)
+            eps_u, eps_t = eps[:b], eps[b:]
+            eps = eps_u + guidance_scale * (eps_t - eps_u)
+            latents, state = unipc.step(sched, state, eps, i, latents)
+            return (latents, state), None
+
+        state = unipc.init_state(sched, latents.shape, latents.dtype)
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, state), jnp.arange(sched.num_steps)
+        )
+
+        image = self.vae.apply(
+            {"params": params["vae"]},
+            (latents / self.config.vae.scaling_factor).astype(self.dtype),
+            method="decode",
+        )
+        return image.astype(jnp.float32)
+
+    # ----------------------------------------------------------------- host
+
+    def __call__(
+        self,
+        image,
+        mask,
+        prompt: str = "",
+        negative_prompt: str = "",
+        task: str = "text-guided",
+        fitting_degree: float = 1.0,
+        num_inference_steps: int = 45,
+        guidance_scale: float = 7.5,
+        brushnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        seed: int = 0,
+        latents: Optional[np.ndarray] = None,
+        output_type: str = "uint8",
+    ):
+        img = to_numpy_image(image)
+        msk = to_numpy_mask(mask)
+
+        # v2 prompt routing (app.py:309-313 + add_task v2 branch)
+        prompt_v2 = v2_prompt_suffix(prompt, task)
+        p = add_task(prompt_v2, negative_prompt, task, "ppt-v2")
+        ids_task = self.tokenizer(
+            [p.promptA, p.promptB, p.negative_promptA, p.negative_promptB]
+        )
+        ids_plain = self.tokenizer([p.promptU, p.negative_promptU])
+
+        # pre-mask in pixel space (app.py:342-345); mask channel = 1 on KEEP
+        premasked = premask_image_v2(img, msk)
+        init = premasked.astype(np.float32) / 127.5 - 1.0
+        keep = (msk < 0.5).astype(np.float32)[..., None]
+
+        # per-step gating table (reference :1370-1376)
+        S = num_inference_steps
+        keeps = np.array(
+            [
+                1.0
+                - float(
+                    i / S < control_guidance_start
+                    or (i + 1) / S > control_guidance_end
+                )
+                for i in range(S)
+            ],
+            np.float32,
+        )
+        cond_scale_table = keeps * brushnet_conditioning_scale
+
+        rng = jax.random.PRNGKey(seed)
+        out = self._generate(
+            self.params,
+            jnp.asarray(ids_task),
+            jnp.asarray(ids_plain),
+            jnp.float32(fitting_degree),
+            jnp.float32(fitting_degree),
+            jnp.asarray(init[None]),
+            jnp.asarray(keep[None]),
+            jnp.float32(guidance_scale),
+            jnp.asarray(cond_scale_table),
+            rng,
+            None if latents is None else jnp.asarray(latents),
+            num_steps=num_inference_steps,
+        )
+        out = np.asarray(out)
+        if output_type == "uint8":
+            return latents_image_to_uint8(out)
+        return out
