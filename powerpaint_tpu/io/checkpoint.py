@@ -1,0 +1,219 @@
+"""Checkpoint-directory loading (reference HF layouts) + orbax native format.
+
+Mirrors the reference's loading topology (app.py:84-200, README.md:82-97):
+
+ppt-v1 (``checkpoints/ppt-v1``):
+    unet/*.safetensors           fine-tuned 9-ch SD-inpaint UNet
+    text_encoder/*.safetensors   fine-tuned CLIP WITH task-token rows
+    vae/, tokenizer/             from the base SD1.5 checkpoint
+
+ppt-v2 (``checkpoints/ppt-v2``):
+    realisticVisionV60B1_v51VAE/{unet,vae,text_encoder,tokenizer}/
+    PowerPaint_Brushnet/diffusion_pytorch_model.safetensors   (brushnet)
+    PowerPaint_Brushnet/pytorch_model.bin                     (task text enc)
+
+Native format: orbax checkpoint of the converted NHWC trees + config JSON —
+load once from torch files, save native, then restore in seconds.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from powerpaint_tpu.core.config import (
+    PowerPaintConfig,
+    ppt_v1_config,
+    ppt_v2_config,
+)
+from powerpaint_tpu.io import convert as C
+from powerpaint_tpu.text.tokenizer import (
+    TokenizerWrapper,
+    add_task_tokens,
+    load_tokenizer,
+)
+
+
+def _find_weights(*candidates: str) -> Optional[str]:
+    for pattern in candidates:
+        hits = sorted(glob.glob(pattern))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _load_dir_weights(d: str) -> Optional[Dict[str, np.ndarray]]:
+    path = _find_weights(
+        os.path.join(d, "*.safetensors"),
+        os.path.join(d, "*.bin"),
+        os.path.join(d, "*.pth"),
+    )
+    return C.load_state_dict(path) if path else None
+
+
+def _to_device_tree(tree: dict, dtype) -> dict:
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), tree)
+
+
+def _sync_text_config(config: PowerPaintConfig, clip_tree: dict):
+    """Adjust vocab/external-token counts to the actual converted table so
+    tokenizer ids and embedding rows always agree."""
+    vocab, hidden = clip_tree["token_embedding"].shape
+    n_ext = (
+        clip_tree["external_embedding"].shape[0]
+        if "external_embedding" in clip_tree else 0
+    )
+    return config.replace(
+        text_encoder=config.text_encoder.replace(
+            vocab_size=int(vocab), num_external_tokens=int(n_ext)
+        )
+    )
+
+
+def _build_tokenizer(base_dir: str, vocab_size: int, n_ext: int):
+    tokenizer = load_tokenizer(base_dir)
+    from powerpaint_tpu.text.tokenizer import HashTokenizer
+
+    if isinstance(tokenizer.base, HashTokenizer):
+        tokenizer = TokenizerWrapper(HashTokenizer(vocab_size=vocab_size))
+    if n_ext:
+        add_task_tokens(tokenizer)
+    return tokenizer
+
+
+def load_ppt_v1(
+    root: str,
+    *,
+    base_dir: Optional[str] = None,
+    config: Optional[PowerPaintConfig] = None,
+    dtype=jnp.bfloat16,
+):
+    """Build an InpaintPipeline from a ppt-v1 checkpoint tree.
+
+    ``root`` holds the fine-tuned unet/ + text_encoder/; ``base_dir``
+    (default: root) holds vae/ + tokenizer/ from the SD1.5 base."""
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+    base_dir = base_dir or root
+    config = config or ppt_v1_config()
+
+    unet_sd = _load_dir_weights(os.path.join(root, "unet"))
+    text_sd = _load_dir_weights(os.path.join(root, "text_encoder"))
+    vae_sd = _load_dir_weights(os.path.join(base_dir, "vae"))
+    missing = [
+        n for n, sd in
+        (("unet", unet_sd), ("text_encoder", text_sd), ("vae", vae_sd))
+        if sd is None
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"checkpoint dir {root!r} missing weights for: {missing}"
+        )
+
+    params = {
+        "unet": C.convert_unet(unet_sd),
+        "text_encoder": C.convert_clip_text(text_sd),
+        "vae": C.convert_vae(vae_sd),
+    }
+    config = _sync_text_config(config, params["text_encoder"])
+    params = _to_device_tree(params, dtype)
+
+    tokenizer = _build_tokenizer(
+        base_dir, config.text_encoder.vocab_size,
+        config.text_encoder.num_external_tokens,
+    )
+    return InpaintPipeline(config, params, tokenizer, dtype=dtype)
+
+
+def load_ppt_v2(
+    root: str,
+    *,
+    dtype=jnp.bfloat16,
+):
+    """Build a BrushNetPipeline from the ppt-v2 two-directory layout."""
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+    config = ppt_v2_config()
+    base = os.path.join(root, "realisticVisionV60B1_v51VAE")
+    bn_dir = os.path.join(root, "PowerPaint_Brushnet")
+    if not os.path.isdir(base):
+        base = root  # flat layout fallback
+
+    unet_sd = _load_dir_weights(os.path.join(base, "unet"))
+    vae_sd = _load_dir_weights(os.path.join(base, "vae"))
+    text_sd = _load_dir_weights(os.path.join(base, "text_encoder"))
+    bn_path = _find_weights(
+        os.path.join(bn_dir, "diffusion_pytorch_model*.safetensors"),
+        os.path.join(bn_dir, "*.safetensors"),
+    )
+    bn_text_path = _find_weights(
+        os.path.join(bn_dir, "pytorch_model*.bin"),
+        os.path.join(bn_dir, "text_encoder", "*.safetensors"),
+        os.path.join(bn_dir, "text_encoder", "*.bin"),
+    )
+    missing = [
+        n for n, v in (
+            ("base unet", unet_sd), ("vae", vae_sd),
+            ("base text_encoder", text_sd), ("brushnet", bn_path),
+            ("brushnet text_encoder", bn_text_path),
+        ) if v is None
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"checkpoint dir {root!r} missing weights for: {missing}"
+        )
+
+    params = {
+        "unet": C.convert_unet(unet_sd),
+        "vae": C.convert_vae(vae_sd),
+        "text_encoder": C.convert_clip_text(text_sd),
+        "brushnet": C.convert_brushnet(C.load_state_dict(bn_path)),
+        "text_encoder_brushnet": C.convert_clip_text(
+            C.load_state_dict(bn_text_path)
+        ),
+    }
+    # task tokens live in the BRUSHNET text encoder (reference app.py:181)
+    config = _sync_text_config(config, params["text_encoder_brushnet"])
+    params = _to_device_tree(params, dtype)
+
+    tokenizer = _build_tokenizer(
+        base, config.text_encoder.vocab_size,
+        config.text_encoder.num_external_tokens,
+    )
+    return BrushNetPipeline(config, params, tokenizer, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# native orbax checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_native(path: str, config: PowerPaintConfig, params: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(config.to_json())
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_native(path: str, *, dtype=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        config = PowerPaintConfig.from_json(f.read())
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.join(path, "params"))
+    if dtype is not None:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
+    return config, params

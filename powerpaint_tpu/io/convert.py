@@ -1,0 +1,250 @@
+"""torch/diffusers checkpoint -> Flax param-tree converters.
+
+The deliverable that gates everything (SURVEY.md §5.4): maps the five
+checkpoint families the reference loads (SD-inpaint UNet, fine-tuned CLIP
+with task tokens, RealisticVision base, BrushNet, ControlNet —
+reference app.py:84-200) into this framework's NHWC Flax trees.
+
+Key transformations (torch -> flax):
+- conv ``weight`` (O, I, kH, kW)      -> ``kernel`` (kH, kW, I, O)
+- linear ``weight`` (O, I)            -> ``kernel`` (I, O)
+- norm ``weight``/``bias``            -> ``scale``/``bias``
+- list modules ``resnets.0``          -> ``resnets_0``
+- ``transformer_blocks.{k}``          -> ``blocks_{k}``
+- ``ff.net.0.proj`` / ``ff.net.2``    -> ``ff.proj_in`` / ``ff.proj_out``
+- ``to_out.0``                        -> ``to_out``
+- CLIP ``text_model.*`` prefix stripped; EmbeddingLayerWithFixes's
+  ``token_embedding.wrapped`` + ``trainable_embeddings.P_*`` (the learned
+  task vectors, reference utils.py:371-380) -> ``token_embedding`` +
+  ``external_embedding`` rows in registration order.
+
+Tensors are accepted as numpy arrays (via ``safetensors.numpy``) or torch
+tensors.  ``load_safetensors_file`` never imports torch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+
+def load_safetensors_file(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """torch.load fallback for .bin/.pth state dicts (reference app.py:193)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".safetensors"):
+        return load_safetensors_file(path)
+    return load_torch_file(path)
+
+
+# ---------------------------------------------------------------------------
+# key mapping
+# ---------------------------------------------------------------------------
+
+_NORM_HINTS = (
+    "norm", "layer_norm", "final_layer_norm", "conv_norm_out", "group_norm",
+)
+
+
+def _is_norm_param(parts: List[str]) -> bool:
+    parent = parts[-2] if len(parts) >= 2 else ""
+    return any(h in parent for h in _NORM_HINTS)
+
+
+def torch_key_to_flax_path(key: str) -> Tuple[str, ...]:
+    """diffusers/transformers state-dict key -> flax tree path (no tensor
+    transform; see convert_tensor)."""
+    k = key
+    # CLIP prefixes
+    k = k.replace("text_model.embeddings.", "")
+    k = k.replace("text_model.encoder.", "")
+    k = k.replace("text_model.", "")
+    k = k.replace("token_embedding.wrapped.", "token_embedding.")
+    # diffusers structure idioms
+    k = k.replace("ff.net.0.proj", "ff.proj_in")
+    k = k.replace("ff.net.2", "ff.proj_out")
+    k = k.replace("to_out.0", "to_out")
+    k = k.replace("transformer_blocks.", "blocks.")
+    k = k.replace(".mlp.", ".")
+    parts = k.split(".")
+
+    out: List[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        # merge list indices: "resnets", "0" -> "resnets_0"
+        if i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i+1]}")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    # param name normalization
+    if out[-1] == "weight":
+        out[-1] = "scale" if _is_norm_param(out) else "kernel"
+    return tuple(out)
+
+
+def convert_tensor(path: Tuple[str, ...], arr: np.ndarray) -> np.ndarray:
+    name = path[-1]
+    if name == "kernel":
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            return np.transpose(arr, (2, 3, 1, 0))
+        if arr.ndim == 2:
+            # embeddings keep (num, dim); linear transposes (O,I) -> (I,O)
+            if "embedding" in path[-2]:
+                return arr
+            return np.transpose(arr)
+    return arr
+
+
+def _insert(tree: dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def state_dict_to_tree(
+    sd: Dict[str, np.ndarray],
+    *,
+    key_filter: Optional[str] = None,
+    strip_prefix: str = "",
+) -> dict:
+    """Generic conversion of a full state dict into a nested flax tree."""
+    tree: dict = {}
+    for key, arr in sd.items():
+        if strip_prefix and key.startswith(strip_prefix):
+            key = key[len(strip_prefix):]
+        if key_filter and not re.match(key_filter, key):
+            continue
+        path = torch_key_to_flax_path(key)
+        _insert(tree, path, convert_tensor(path, arr))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# per-family converters
+# ---------------------------------------------------------------------------
+
+
+def convert_unet(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers UNet2DConditionModel state dict -> models.unet tree."""
+    return state_dict_to_tree(sd)
+
+
+def convert_brushnet(sd: Dict[str, np.ndarray]) -> dict:
+    tree = state_dict_to_tree(sd)
+    # flatten brushnet zero-conv lists: brushnet_down_blocks_{i}/{kernel,bias}
+    return tree
+
+
+def convert_controlnet(sd: Dict[str, np.ndarray]) -> dict:
+    return state_dict_to_tree(sd)
+
+
+def convert_vae(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers AutoencoderKL -> models.vae tree (quant convs live inside
+    encoder/decoder here)."""
+    tree = state_dict_to_tree(sd)
+    enc = tree.get("encoder", {})
+    dec = tree.get("decoder", {})
+    if "quant_conv" in tree:
+        enc["quant_conv"] = tree.pop("quant_conv")
+    if "post_quant_conv" in tree:
+        dec["post_quant_conv"] = tree.pop("post_quant_conv")
+    return {"encoder": enc, "decoder": dec}
+
+
+TASK_TOKEN_ORDER = ("P_ctxt", "P_shape", "P_obj")
+
+
+def convert_clip_text(
+    sd: Dict[str, np.ndarray],
+    task_token_order: Tuple[str, ...] = TASK_TOKEN_ORDER,
+) -> dict:
+    """transformers CLIPTextModel (optionally with EmbeddingLayerWithFixes
+    trainable task embeddings) -> models.clip_text tree."""
+    trainables = {}
+    plain = {}
+    for k, v in sd.items():
+        m = re.search(r"trainable_embeddings\.([A-Za-z_0-9]+)$", k)
+        if m:
+            trainables[m.group(1)] = v
+        else:
+            plain[k] = v
+    tree = state_dict_to_tree(plain)
+    # transformers nests position_embedding under embeddings too
+    if "position_embedding" in tree and isinstance(
+        tree["position_embedding"], dict
+    ):
+        tree["position_embedding"] = tree["position_embedding"]["kernel"]
+    if "token_embedding" in tree and isinstance(tree["token_embedding"], dict):
+        emb = tree["token_embedding"]
+        tree["token_embedding"] = emb.get("kernel", emb.get("scale"))
+    if trainables:
+        rows = [trainables[name] for name in task_token_order]
+        tree["external_embedding"] = np.concatenate(rows, axis=0)
+    # drop the (vocab-extended) rows if the table already includes externals
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+
+def tree_paths(tree: dict, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], tuple]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(tree_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(v.shape)
+    return out
+
+
+def validate_against(
+    converted: dict, expected: dict, *, allow_missing: bool = False
+) -> List[str]:
+    """Compare converted tree against an init-produced tree; returns a list
+    of problems (empty = exact structural + shape match)."""
+    got = tree_paths(converted)
+    want = tree_paths(expected)
+    problems = []
+    for path, shape in want.items():
+        if path not in got:
+            if not allow_missing:
+                problems.append(f"missing {'/'.join(path)} {shape}")
+        elif got[path] != shape:
+            problems.append(
+                f"shape mismatch {'/'.join(path)}: got {got[path]}, want {shape}"
+            )
+    for path in got:
+        if path not in want:
+            problems.append(f"unexpected {'/'.join(path)} {got[path]}")
+    return problems

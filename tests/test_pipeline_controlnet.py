@@ -21,7 +21,7 @@ def pipe():
     cfg = tiny_v1_controlnet_config()
     params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
                          dtype=jnp.float32)
-    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
     add_task_tokens(tok)
     return ControlNetPipeline(cfg, params, tok, dtype=jnp.float32)
 
@@ -77,7 +77,7 @@ def test_controlnet_influences_after_perturbation(inputs):
     params["controlnet"]["controlnet_cond_embedding"]["conv_out"]["kernel"] = (
         jnp.ones_like(ck) * 0.05
     )
-    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
     add_task_tokens(tok)
     p = ControlNetPipeline(cfg, params, tok, dtype=jnp.float32)
 

@@ -18,8 +18,8 @@ def pipe():
     cfg = tiny_v1_config()
     params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
                          dtype=jnp.float32)
-    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
-    add_task_tokens(tok)  # -> ids 994..1023 map into the tiny 1024-row table
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)  # placeholders get ids 1024..1053 -> external rows
     return InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
 
 

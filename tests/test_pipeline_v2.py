@@ -20,7 +20,7 @@ def pipe():
     cfg = tiny_v2_config()
     params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
                          dtype=jnp.float32)
-    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
     add_task_tokens(tok)
     return BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
 

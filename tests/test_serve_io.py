@@ -1,0 +1,189 @@
+"""Serving (HTTP + CLI) and checkpoint IO tests on the tiny stack."""
+
+import base64
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from powerpaint_tpu.io.params import init_params
+from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+from powerpaint_tpu.testing import tiny_v1_config
+from powerpaint_tpu.text.tokenizer import (
+    HashTokenizer,
+    TokenizerWrapper,
+    add_task_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    return InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+
+
+def _png_b64(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_http_server_inpaint(pipe):
+    from powerpaint_tpu.serve.app import make_server
+
+    server = make_server(pipe, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health"
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        payload = {
+            "image_b64": _png_b64(img),
+            "mask_b64": _png_b64(mask),
+            "prompt": "a dog",
+            "task": "text-guided",
+            "steps": 2,
+            "short_side": 64,
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = Image.open(io.BytesIO(r.read()))
+            assert out.size[0] >= 56 and out.size[1] >= 56
+
+        # malformed request -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint",
+            data=json.dumps({"prompt": "x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert r.status == 200
+    finally:
+        server.shutdown()
+
+
+def test_cli_one_shot(tmp_path):
+    from powerpaint_tpu.serve.cli import main
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    ip = tmp_path / "in.png"
+    mp = tmp_path / "mask.png"
+    op = tmp_path / "out.png"
+    Image.fromarray(img).save(ip)
+    Image.fromarray(mask).save(mp)
+
+    rc = main([
+        "--tiny", "--image", str(ip), "--mask", str(mp),
+        "--output", str(op), "--prompt", "a dog", "--steps", "2",
+        "--weight_dtype", "float32", "--short_side", "64",
+    ])
+    assert rc == 0
+    assert os.path.exists(op)
+    out = np.asarray(Image.open(op))
+    assert out.shape[2] == 3
+
+
+def test_cli_missing_image_errors():
+    from powerpaint_tpu.serve.cli import main
+
+    assert main(["--tiny"]) == 2
+
+
+def test_native_checkpoint_roundtrip(tmp_path, pipe):
+    from powerpaint_tpu.io.checkpoint import load_native, save_native
+
+    save_native(str(tmp_path / "ckpt"), pipe.config, pipe.params)
+    config, params = load_native(str(tmp_path / "ckpt"))
+    assert config == pipe.config
+    orig = jax.tree_util.tree_leaves(pipe.params)
+    loaded = jax.tree_util.tree_leaves(params)
+    assert len(orig) == len(loaded)
+    for a, b in zip(orig, loaded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_ppt_v1_from_torch_layout(tmp_path):
+    """Full loader path: synthetic reference-layout checkpoint dir ->
+    InpaintPipeline with identical outputs to the source params."""
+    from safetensors.numpy import save_file
+
+    from tests.test_convert import tree_to_torch_sd
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1
+
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+
+    root = tmp_path / "ppt-v1"
+    for sub in ("unet", "text_encoder", "vae"):
+        os.makedirs(root / sub)
+    save_file(tree_to_torch_sd(params["unet"]),
+              str(root / "unet" / "model.safetensors"))
+    save_file(tree_to_torch_sd(params["vae"], clip=False) | {},
+              str(root / "vae" / "model.safetensors"))
+    # vae quant convs at diffusers top level
+    vae_sd = tree_to_torch_sd(params["vae"])
+    fixed = {}
+    for k, v in vae_sd.items():
+        k2 = k.replace("encoder.quant_conv.", "quant_conv.")
+        k2 = k2.replace("decoder.post_quant_conv.", "post_quant_conv.")
+        fixed[k2] = v
+    save_file(fixed, str(root / "vae" / "model.safetensors"))
+    clip_sd = tree_to_torch_sd(params["text_encoder"], clip=True)
+    ext = clip_sd.pop("text_model.embeddings.external_embedding.weight")
+    tok_w = clip_sd.pop("text_model.embeddings.token_embedding.weight")
+    clip_sd["text_model.embeddings.token_embedding.wrapped.weight"] = tok_w
+    for i, name in enumerate(("P_ctxt", "P_shape", "P_obj")):
+        clip_sd[
+            f"text_model.embeddings.token_embedding.trainable_embeddings.{name}"
+        ] = ext[i * 10:(i + 1) * 10]
+    save_file(clip_sd, str(root / "text_encoder" / "model.safetensors"))
+
+    loaded = load_ppt_v1(str(root), config=cfg, dtype=jnp.float32)
+    # loaded pipeline must produce identical outputs to the source stack
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    src = InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[8:40, 8:40] = 1.0
+    a = src(img, mask, prompt="t", num_inference_steps=2, seed=1)
+    b = loaded(img, mask, prompt="t", num_inference_steps=2, seed=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_load_ppt_v1_missing_dir_raises(tmp_path):
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1
+
+    with pytest.raises(FileNotFoundError):
+        load_ppt_v1(str(tmp_path))
