@@ -25,6 +25,8 @@ tensors.  ``load_safetensors_file`` never imports torch.
 from __future__ import annotations
 
 import os
+
+import jax
 import re
 from typing import Dict, List, Optional, Tuple
 
@@ -248,3 +250,43 @@ def validate_against(
         if path not in want:
             problems.append(f"unexpected {'/'.join(path)} {got[path]}")
     return problems
+
+
+# ---------------------------------------------------------------------------
+# BrushNet from_unet weight surgery
+# ---------------------------------------------------------------------------
+
+
+def brushnet_params_from_unet(unet_params: dict, template: dict) -> dict:
+    """Initialize BrushNet params from a base UNet (reference
+    ``BrushNetModel.from_unet``, BrushNet_CA.py:525-542):
+
+    - conv_in_condition kernel (3,3,4+5,C) = [unet conv_in | unet conv_in | 0]
+      over input channels, bias copied;
+    - time embedding and all down/mid/up block weights copied;
+    - zero convs keep the template's zero init (torch ``strict=False``).
+
+    ``template`` is a freshly initialized BrushNet tree (e.g. from
+    ``BrushNetModel.init``) supplying the zero convs and structure.
+    """
+    import copy as _copy
+
+    out = _copy.deepcopy(template)
+
+    uk = np.asarray(unet_params["conv_in"]["kernel"])  # (3,3,4,C)
+    ck = np.zeros_like(np.asarray(out["conv_in_condition"]["kernel"]))
+    n_in = uk.shape[2]
+    ck[:, :, :n_in, :] = uk
+    ck[:, :, n_in : 2 * n_in, :] = uk
+    out["conv_in_condition"]["kernel"] = ck
+    out["conv_in_condition"]["bias"] = np.asarray(
+        unet_params["conv_in"]["bias"]
+    )
+
+    for key in unet_params:
+        if key in out and (
+            key.startswith(("down_blocks", "up_blocks"))
+            or key in ("mid_block", "time_embedding")
+        ):
+            out[key] = jax.tree.map(lambda x: x, unet_params[key])
+    return out

@@ -72,8 +72,16 @@ def attention(
     """Dispatch: Pallas flash attention on TPU for long self-attention,
     XLA einsum otherwise (short kv / CPU)."""
     if use_flash is None:
-        # flash pays off for long kv; cross-attention kv=77 stays on XLA
-        use_flash = _on_tpu() and k.shape[1] >= 512 and q.shape[1] >= 512
+        import os
+
+        env = os.environ.get("POWERPAINT_FLASH", "auto")
+        if env == "0":
+            use_flash = False
+        elif env == "1":
+            use_flash = _on_tpu()
+        else:
+            # flash pays off for long kv; cross-attention kv=77 stays on XLA
+            use_flash = _on_tpu() and k.shape[1] >= 512 and q.shape[1] >= 512
     if use_flash:
         from powerpaint_tpu.ops import flash_attention as fa
 

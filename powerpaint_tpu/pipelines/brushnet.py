@@ -169,8 +169,20 @@ class BrushNetPipeline:
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
     ):
+        from powerpaint_tpu.core.validation import (
+            check_call_args,
+            check_image_mask,
+        )
+
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
+        check_image_mask(img, msk)
+        check_call_args(
+            task=task, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, fitting_degree=fitting_degree,
+            control_guidance_start=control_guidance_start,
+            control_guidance_end=control_guidance_end,
+        )
 
         # v2 prompt routing (app.py:309-313 + add_task v2 branch)
         prompt_v2 = v2_prompt_suffix(prompt, task)

@@ -146,9 +146,24 @@ class ControlNetPipeline(InpaintPipeline):
                 output_type=output_type, **kwargs,
             )
 
+        from powerpaint_tpu.core.validation import (
+            check_call_args,
+            check_control_image,
+            check_image_mask,
+        )
+
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
-        ctrl = to_numpy_image(control_image).astype(np.float32) / 255.0
+        check_image_mask(img, msk)
+        check_call_args(
+            task=task, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, fitting_degree=fitting_degree,
+            control_guidance_start=control_guidance_start,
+            control_guidance_end=control_guidance_end,
+        )
+        ctrl_u8 = to_numpy_image(control_image)
+        check_control_image(ctrl_u8, img)
+        ctrl = ctrl_u8.astype(np.float32) / 255.0
         init, m, masked = prepare_inpaint_inputs(img, msk)
 
         # reference passes promptA/B swapped with tradoff=1.0 for controlnet

@@ -210,34 +210,50 @@ class InpaintPipeline:
     ):
         """Full inpainting call (reference __call__ surface,
         pipeline_PowerPaint.py:978-1071 + app.py predict routing)."""
+        from powerpaint_tpu.core.validation import (
+            check_call_args,
+            check_image_mask,
+        )
         from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
+        check_image_mask(img, msk)
+        check_call_args(
+            task=task, num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, strength=strength,
+            fitting_degree=fitting_degree,
+        )
         init, m, masked = prepare_inpaint_inputs(img, msk)
 
         task_prompts = add_task(prompt, negative_prompt, task, "ppt-v1")
         ids = self.encode_task(task_prompts)
 
+        from powerpaint_tpu.core.metrics import GLOBAL as _telemetry
+
         strength_steps = min(
             int(num_inference_steps * strength), num_inference_steps
         )
         rng = jax.random.PRNGKey(seed)
-        out = self._generate(
-            self.params,
-            jnp.asarray(ids),
-            jnp.float32(fitting_degree),
-            jnp.float32(fitting_degree),
-            jnp.asarray(init),
-            jnp.asarray(m),
-            jnp.asarray(masked),
-            jnp.float32(guidance_scale),
-            rng,
-            None if latents is None else jnp.asarray(latents),
-            num_steps=num_inference_steps,
-            strength_steps=strength_steps,
-        )
-        out = np.asarray(out)
+        _telemetry.reset_stages()
+        with _telemetry.stage("generate"):
+            out = self._generate(
+                self.params,
+                jnp.asarray(ids),
+                jnp.float32(fitting_degree),
+                jnp.float32(fitting_degree),
+                jnp.asarray(init),
+                jnp.asarray(m),
+                jnp.asarray(masked),
+                jnp.float32(guidance_scale),
+                rng,
+                None if latents is None else jnp.asarray(latents),
+                num_steps=num_inference_steps,
+                strength_steps=strength_steps,
+            )
+            out = np.asarray(out)
+        _telemetry.count("images", out.shape[0])
+        _telemetry.count("denoise_steps", strength_steps)
         if output_type == "uint8":
             return latents_image_to_uint8(out)
         return out

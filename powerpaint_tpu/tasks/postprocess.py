@@ -37,7 +37,12 @@ def blend_result(
 ) -> np.ndarray:
     """out = result*m_blur + original*(1-m_blur) — app.py:371-381.
 
-    result/original: (H, W, 3) uint8; mask: (H, W) in [0,1]."""
+    result/original: (H, W, 3) uint8; mask: (H, W) in [0,1].
+    Uses the native C++ path (tasks/native.py) when built."""
+    from powerpaint_tpu.tasks import native
+
+    if native.native_available():
+        return native.blend_result(result, original, mask, blur_radius)
     m = gaussian_blur(mask, blur_radius)[..., None]
     out = result.astype(np.float32) * m + original.astype(np.float32) * (1 - m)
     return np.clip(out, 0, 255).astype(np.uint8)

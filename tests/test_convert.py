@@ -216,3 +216,47 @@ def test_controlnet_roundtrip():
         jnp.zeros((1, 128, 128, 3)),
     )["params"]
     _roundtrip(params, C.convert_controlnet)
+
+
+def test_brushnet_from_unet_surgery():
+    """from_unet contract (reference BrushNet_CA.py:525-542): identical
+    inputs through both branches -> brushnet sees [x|x|0] exactly as the
+    base conv_in sees x duplicated; blocks share weights; taps still zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.io.convert import brushnet_params_from_unet
+    from powerpaint_tpu.testing import tiny_v2_config
+
+    cfg = tiny_v2_config()
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(cfg.unet, dtype=jnp.float32)
+    u_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.array([0]),
+        jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
+    )["params"]
+    bn = BrushNetModel(cfg.brushnet, dtype=jnp.float32)
+    template = jax.jit(bn.init)(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.array([0]),
+        jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
+        jnp.zeros((1, 16, 16, 5)),
+    )["params"]
+
+    bn_params = brushnet_params_from_unet(u_params, template)
+
+    ck = np.asarray(bn_params["conv_in_condition"]["kernel"])
+    uk = np.asarray(u_params["conv_in"]["kernel"])
+    np.testing.assert_array_equal(ck[:, :, :4, :], uk)
+    np.testing.assert_array_equal(ck[:, :, 4:8, :], uk)
+    assert np.abs(ck[:, :, 8:, :]).max() == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(bn_params["mid_block"]["resnets_0"]["conv1"]["kernel"]),
+        np.asarray(u_params["mid_block"]["resnets_0"]["conv1"]["kernel"]),
+    )
+    # zero convs still zero -> taps vanish
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    ctx = jax.random.normal(rng, (1, 77, cfg.unet.cross_attention_dim))
+    cond = jax.random.normal(rng, (1, 16, 16, 5))
+    down, mid, up = bn.apply({"params": bn_params}, x, jnp.array([5]), ctx, cond)
+    for t in list(down) + [mid] + list(up):
+        assert float(jnp.abs(t).max()) == 0.0
