@@ -48,7 +48,7 @@ def main() -> None:
 
     def run(steps, seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed,
-                    num_inference_steps=steps, output_type="float")
+                    num_inference_steps=steps)
 
     # warmup / compile (two step counts -> two executables)
     t0 = time.time()

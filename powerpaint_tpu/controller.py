@@ -31,6 +31,7 @@ class InferenceResult:
     raw: np.ndarray  # raw model output
     mask_overlay: np.ndarray  # red-overlay visualization
     timings_ms: Dict[str, float]
+    nsfw_flags: Optional[list] = None
 
 
 class PowerPaint:
@@ -127,10 +128,14 @@ class PowerPaint:
         else:
             out = self.pipeline(img, msk, **kwargs)
 
+        from powerpaint_tpu.core.safety import apply_safety_checker
+
+        out, nsfw_flags = apply_safety_checker(out)
         result = blend_result(out[0], img, msk, blur_radius=blend_blur_radius)
         return InferenceResult(
             result=result,
             raw=out[0],
             mask_overlay=red_overlay(img, msk),
             timings_ms=telemetry.last_call_report(),
+            nsfw_flags=nsfw_flags,
         )

@@ -216,3 +216,72 @@ class AutoencoderKL(nn.Module):
     def __call__(self, x, rng):
         z = self.sample(x, rng)
         return self.decode(z / self.config.scaling_factor)
+
+
+def decode_tiled(
+    vae: "AutoencoderKL",
+    params,
+    z: "jnp.ndarray",
+    *,
+    tile: int = 64,
+    overlap: int = 16,
+):
+    """Tiled VAE decode for large canvases (the TPU answer to the reference's
+    VAE slicing/tiling, pipeline_PowerPaint_ControlNet.py:326-356).
+
+    Decodes (tile x tile)-latent windows with ``overlap`` latent pixels of
+    context and linearly feathers the overlapping pixel regions.  Static tile
+    count per canvas size -> one XLA program per size bucket.  z: (B, h, w, C)
+    UNSCALED latents (callers divide by scaling_factor first).
+    """
+    b, h, w, c = z.shape
+    if h <= tile and w <= tile:
+        return vae.apply({"params": params}, z, method="decode")
+
+    stride = tile - overlap
+    ny = max(1, -(-(h - overlap) // stride))
+    nx = max(1, -(-(w - overlap) // stride))
+
+    out = None
+    weight = None
+    f = 8  # spatial scale factor
+    for iy in range(ny):
+        for ix in range(nx):
+            y0 = min(iy * stride, max(h - tile, 0))
+            x0 = min(ix * stride, max(w - tile, 0))
+            th = min(tile, h)
+            tw = min(tile, w)
+            patch = jax.lax.dynamic_slice(z, (0, y0, x0, 0), (b, th, tw, c))
+            dec = vae.apply({"params": params}, patch, method="decode")
+            dec = dec.astype(jnp.float32)
+            if out is None:
+                out = jnp.zeros((b, h * f, w * f, dec.shape[-1]), jnp.float32)
+                weight = jnp.zeros((1, h * f, w * f, 1), jnp.float32)
+            # feathered weight: linear ramp across the overlap band
+            wy = jnp.minimum(
+                jnp.arange(th * f, dtype=jnp.float32) + 1.0,
+                jnp.arange(th * f, 0.0, -1.0),
+            )
+            wy = jnp.minimum(wy / max(overlap * f, 1), 1.0)
+            wx = jnp.minimum(
+                jnp.arange(tw * f, dtype=jnp.float32) + 1.0,
+                jnp.arange(tw * f, 0.0, -1.0),
+            )
+            wx = jnp.minimum(wx / max(overlap * f, 1), 1.0)
+            wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(
+                    out, (0, y0 * f, x0 * f, 0),
+                    (b, th * f, tw * f, dec.shape[-1]),
+                ) + dec * wmap,
+                (0, y0 * f, x0 * f, 0),
+            )
+            weight = jax.lax.dynamic_update_slice(
+                weight,
+                jax.lax.dynamic_slice(
+                    weight, (0, y0 * f, x0 * f, 0), (1, th * f, tw * f, 1)
+                ) + wmap,
+                (0, y0 * f, x0 * f, 0),
+            )
+    return (out / jnp.maximum(weight, 1e-8)).astype(z.dtype)

@@ -136,6 +136,7 @@ def _flash_bnsd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * g * sq * skv * d,
@@ -153,10 +154,12 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int = 2048,
+    block_kv: int = 1024,
     debug_interpret: bool = False,
 ) -> jax.Array:
+    # default blocks tuned on v5e at SD1.5 shapes (S=4096, D=40): ~54 TFLOP/s,
+    # at the D-padding ceiling; see scripts/perf_attn*.py sweeps
     """Flash attention over (B, S, N, D) tensors (non-causal)."""
     b, sq, n, d = q.shape
     _, skv, _, _ = k.shape

@@ -33,12 +33,7 @@ from powerpaint_tpu.models.clip_text import CLIPTextModel
 from powerpaint_tpu.models.unet import UNet2DConditionModel
 from powerpaint_tpu.models.vae import AutoencoderKL
 from powerpaint_tpu.schedulers import unipc
-from powerpaint_tpu.tasks.postprocess import latents_image_to_uint8
-from powerpaint_tpu.tasks.preprocess import (
-    premask_image_v2,
-    to_numpy_image,
-    to_numpy_mask,
-)
+from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 from powerpaint_tpu.text.prompts import TaskPrompts, add_task, v2_prompt_suffix
 from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
@@ -62,7 +57,7 @@ class BrushNetPipeline:
             cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
         )
         self._generate = jax.jit(
-            self._generate_fn, static_argnames=("num_steps",)
+            self._generate_fn, static_argnames=("num_steps", "out_uint8")
         )
 
     def _generate_fn(
@@ -72,16 +67,23 @@ class BrushNetPipeline:
         ids_plain: jnp.ndarray,  # (2, 77) [U, negU]
         tradoff: jnp.ndarray,
         tradoff_nag: jnp.ndarray,
-        masked_image: jnp.ndarray,  # (B, H, W, 3) pre-masked, [-1, 1]
-        keep_mask: jnp.ndarray,  # (B, H, W, 1) 1.0 on PRESERVED pixels
+        image_u8: jnp.ndarray,  # (B, H, W, 3) uint8 (unmasked pixels)
+        mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8, 255 = hole
         guidance_scale: jnp.ndarray,
         cond_scale_table: jnp.ndarray,  # (S,) brushnet scale per step
         rng: jax.Array,
         latents_in: Optional[jnp.ndarray],
         num_steps: int,
+        out_uint8: bool = True,
     ):
+        # device-side prep (uint8 boundary): pixel-space pre-mask
+        # (app.py:342-345) and keep-mask channel
+        hole = (mask_u8 >= 128).astype(jnp.float32)
+        keep_mask = 1.0 - hole
+        imgf = image_u8.astype(jnp.float32) * keep_mask
+        masked_image = imgf / 127.5 - 1.0
         sched = unipc.make_unipc_schedule(self.config.scheduler, num_steps)
-        b, h, w, _ = masked_image.shape
+        b, h, w, _ = masked_image.shape  # noqa: E501
         h8, w8 = h // 8, w // 8
 
         # --- text: task embeds (A/B blend) + plain embeds ---
@@ -148,6 +150,9 @@ class BrushNetPipeline:
             (latents / self.config.vae.scaling_factor).astype(self.dtype),
             method="decode",
         )
+        if out_uint8:
+            img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(img01 * 255.0).astype(jnp.uint8)
         return image.astype(jnp.float32)
 
     # ----------------------------------------------------------------- host
@@ -166,6 +171,7 @@ class BrushNetPipeline:
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
         seed: int = 0,
+        num_images_per_prompt: int = 1,
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
     ):
@@ -192,10 +198,9 @@ class BrushNetPipeline:
         )
         ids_plain = self.tokenizer([p.promptU, p.negative_promptU])
 
-        # pre-mask in pixel space (app.py:342-345); mask channel = 1 on KEEP
-        premasked = premask_image_v2(img, msk)
-        init = premasked.astype(np.float32) / 127.5 - 1.0
-        keep = (msk < 0.5).astype(np.float32)[..., None]
+        img_b = np.tile(img[None], (num_images_per_prompt, 1, 1, 1))
+        mask_u8 = ((msk >= 0.5).astype(np.uint8) * 255)[None, ..., None]
+        mask_b = np.tile(mask_u8, (num_images_per_prompt, 1, 1, 1))
 
         # per-step gating table (reference :1370-1376)
         S = num_inference_steps
@@ -219,15 +224,13 @@ class BrushNetPipeline:
             jnp.asarray(ids_plain),
             jnp.float32(fitting_degree),
             jnp.float32(fitting_degree),
-            jnp.asarray(init[None]),
-            jnp.asarray(keep[None]),
+            jnp.asarray(img_b),
+            jnp.asarray(mask_b),
             jnp.float32(guidance_scale),
             jnp.asarray(cond_scale_table),
             rng,
             None if latents is None else jnp.asarray(latents),
             num_steps=num_inference_steps,
+            out_uint8=output_type == "uint8",
         )
-        out = np.asarray(out)
-        if output_type == "uint8":
-            return latents_image_to_uint8(out)
-        return out
+        return np.asarray(out)

@@ -24,12 +24,7 @@ from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim
 from powerpaint_tpu.schedulers.common import make_schedule
-from powerpaint_tpu.tasks.postprocess import latents_image_to_uint8
-from powerpaint_tpu.tasks.preprocess import (
-    prepare_inpaint_inputs,
-    to_numpy_image,
-    to_numpy_mask,
-)
+from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 from powerpaint_tpu.text.prompts import add_task
 
 
@@ -44,7 +39,7 @@ class ControlNetPipeline(InpaintPipeline):
             self.config.controlnet, dtype=self.dtype
         )
         self._generate_cn = jax.jit(
-            self._generate_cn_fn, static_argnames=("num_steps",)
+            self._generate_cn_fn, static_argnames=("num_steps", "out_uint8")
         )
 
     def _generate_cn_fn(
@@ -53,15 +48,19 @@ class ControlNetPipeline(InpaintPipeline):
         ids: jnp.ndarray,  # (4, 77)
         tradoff: jnp.ndarray,
         tradoff_nag: jnp.ndarray,
-        init_image: jnp.ndarray,
-        mask: jnp.ndarray,
-        masked_image: jnp.ndarray,
-        control_image: jnp.ndarray,  # (B, H, W, 3) in [0, 1]
+        image_u8: jnp.ndarray,  # (B, H, W, 3) uint8
+        mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8, 255 = hole
+        control_u8: jnp.ndarray,  # (B, H, W, 3) uint8 control map
         guidance_scale: jnp.ndarray,
         cond_scale_table: jnp.ndarray,  # (S,)
         rng: jax.Array,
         num_steps: int,
+        out_uint8: bool = True,
     ):
+        init_image = image_u8.astype(jnp.float32) / 127.5 - 1.0
+        mask = (mask_u8 >= 128).astype(jnp.float32)
+        masked_image = init_image * (1.0 - mask)
+        control_image = control_u8.astype(jnp.float32) / 255.0
         sched = make_schedule(self.config.scheduler, num_steps)
         b, h, w, _ = init_image.shape
         h8, w8 = h // 8, w // 8
@@ -116,6 +115,9 @@ class ControlNetPipeline(InpaintPipeline):
             (latents / self.config.vae.scaling_factor).astype(self.dtype),
             method="decode",
         )
+        if out_uint8:
+            img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(img01 * 255.0).astype(jnp.uint8)
         return image.astype(jnp.float32)
 
     def __call__(  # type: ignore[override]
@@ -163,8 +165,7 @@ class ControlNetPipeline(InpaintPipeline):
         )
         ctrl_u8 = to_numpy_image(control_image)
         check_control_image(ctrl_u8, img)
-        ctrl = ctrl_u8.astype(np.float32) / 255.0
-        init, m, masked = prepare_inpaint_inputs(img, msk)
+        mask_u8 = ((msk >= 0.5).astype(np.uint8) * 255)[None, ..., None]
 
         # reference passes promptA/B swapped with tradoff=1.0 for controlnet
         # (app.py:439-440); both are identical strings so behavior matches
@@ -188,16 +189,13 @@ class ControlNetPipeline(InpaintPipeline):
             jnp.asarray(ids),
             jnp.float32(fitting_degree),
             jnp.float32(fitting_degree),
-            jnp.asarray(init),
-            jnp.asarray(m),
-            jnp.asarray(masked),
-            jnp.asarray(ctrl[None]),
+            jnp.asarray(img[None]),
+            jnp.asarray(mask_u8),
+            jnp.asarray(ctrl_u8[None]),
             jnp.float32(guidance_scale),
             jnp.asarray(keeps * controlnet_conditioning_scale),
             jax.random.PRNGKey(seed),
             num_steps=num_inference_steps,
+            out_uint8=output_type == "uint8",
         )
-        out = np.asarray(out)
-        if output_type == "uint8":
-            return latents_image_to_uint8(out)
-        return out
+        return np.asarray(out)

@@ -163,3 +163,31 @@ def test_clip_text_external_embeddings():
     out_ext = m.apply(params, ids_ext)
     assert np.isfinite(np.asarray(out_ext)).all()
     assert not np.allclose(np.asarray(out), np.asarray(out_ext))
+
+
+def test_vae_tiled_decode_matches_full():
+    from powerpaint_tpu.models.vae import decode_tiled
+
+    cfg = tiny_vae()
+    vae = AutoencoderKL(cfg, dtype=F32)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (1, 64, 64, 3)) * 0.3
+    params = jax.jit(vae.init)(rng, x, rng)["params"]
+    z = jax.random.normal(rng, (1, 24, 24, 4)) * 0.5
+
+    full = vae.apply({"params": params}, z, method="decode")
+    tiled = decode_tiled(vae, params, z, tile=16, overlap=8)
+    assert tiled.shape == full.shape
+    # tiled decode is approximate (GroupNorm stats are per-tile, as in
+    # diffusers' tiling); with a random-weight VAE allow a generous relative
+    # tolerance and check basic sanity
+    diff = np.abs(np.asarray(tiled) - np.asarray(full))
+    rel = diff.mean() / (np.abs(np.asarray(full)).mean() + 1e-6)
+    assert rel < 0.5, rel
+    assert np.isfinite(np.asarray(tiled)).all()
+
+    # small canvas short-circuits to the plain decode
+    z_small = z[:, :8, :8]
+    a = decode_tiled(vae, params, z_small, tile=16)
+    b = vae.apply({"params": params}, z_small, method="decode")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
