@@ -57,7 +57,8 @@ class BrushNetPipeline:
             cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
         )
         self._generate = jax.jit(
-            self._generate_fn, static_argnames=("num_steps", "out_uint8")
+            self._generate_fn,
+            static_argnames=("num_steps", "out_uint8", "guess_mode")
         )
 
     def _generate_fn(
@@ -75,6 +76,7 @@ class BrushNetPipeline:
         latents_in: Optional[jnp.ndarray],
         num_steps: int,
         out_uint8: bool = True,
+        guess_mode: bool = False,
     ):
         # device-side prep (uint8 boundary): pixel-space pre-mask
         # (app.py:342-345) and keep-mask channel
@@ -125,10 +127,26 @@ class BrushNetPipeline:
             lmi = jnp.concatenate([latents, latents], axis=0)
             lmi = unipc.scale_model_input(sched, lmi, i)
             t = sched.timesteps[i]
-            down, mid, up = self.brushnet.apply(
-                {"params": params["brushnet"]}, lmi, t, cond_task, cond5,
-                conditioning_scale=cond_scale_table[i],
-            )
+            if guess_mode:
+                # run the branch on the conditional half only; zero taps for
+                # the uncond half (reference :1404-1427)
+                down, mid, up = self.brushnet.apply(
+                    {"params": params["brushnet"]},
+                    unipc.scale_model_input(sched, latents, i), t,
+                    cond_task[b:], cond5[:b],
+                    conditioning_scale=cond_scale_table[i], guess_mode=True,
+                )
+                pad = lambda x: jnp.concatenate(
+                    [jnp.zeros_like(x), x], axis=0
+                )
+                down = tuple(pad(x) for x in down)
+                mid = pad(mid)
+                up = tuple(pad(x) for x in up)
+            else:
+                down, mid, up = self.brushnet.apply(
+                    {"params": params["brushnet"]}, lmi, t, cond_task, cond5,
+                    conditioning_scale=cond_scale_table[i],
+                )
             eps = self.unet.apply(
                 {"params": params["unet"]}, lmi, t, cond_plain,
                 down_block_add_samples=down,
@@ -172,6 +190,7 @@ class BrushNetPipeline:
         control_guidance_end: float = 1.0,
         seed: int = 0,
         num_images_per_prompt: int = 1,
+        guess_mode: bool = False,
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
     ):
@@ -232,5 +251,6 @@ class BrushNetPipeline:
             None if latents is None else jnp.asarray(latents),
             num_steps=num_inference_steps,
             out_uint8=output_type == "uint8",
+            guess_mode=guess_mode,
         )
         return np.asarray(out)

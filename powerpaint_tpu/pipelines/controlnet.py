@@ -39,7 +39,8 @@ class ControlNetPipeline(InpaintPipeline):
             self.config.controlnet, dtype=self.dtype
         )
         self._generate_cn = jax.jit(
-            self._generate_cn_fn, static_argnames=("num_steps", "out_uint8")
+            self._generate_cn_fn,
+            static_argnames=("num_steps", "out_uint8", "guess_mode")
         )
 
     def _generate_cn_fn(
@@ -56,6 +57,7 @@ class ControlNetPipeline(InpaintPipeline):
         rng: jax.Array,
         num_steps: int,
         out_uint8: bool = True,
+        guess_mode: bool = False,
     ):
         init_image = image_u8.astype(jnp.float32) / 127.5 - 1.0
         mask = (mask_u8 >= 128).astype(jnp.float32)
@@ -91,10 +93,25 @@ class ControlNetPipeline(InpaintPipeline):
             lmi4 = jnp.concatenate([latents, latents], axis=0)
             lmi4 = ddim.scale_model_input(sched, lmi4, i)
             t = sched.timesteps[i]
-            down, mid = self.controlnet.apply(
-                {"params": params["controlnet"]}, lmi4, t, cond, control2,
-                conditioning_scale=cond_scale_table[i],
-            )
+            if guess_mode:
+                # ControlNet on the conditional half only, zero residuals for
+                # the uncond half (reference :1669-1701)
+                down, mid = self.controlnet.apply(
+                    {"params": params["controlnet"]},
+                    ddim.scale_model_input(sched, latents, i), t,
+                    cond[b:], control_image,
+                    conditioning_scale=cond_scale_table[i], guess_mode=True,
+                )
+                pad = lambda x: jnp.concatenate(
+                    [jnp.zeros_like(x), x], axis=0
+                )
+                down = tuple(pad(x) for x in down)
+                mid = pad(mid)
+            else:
+                down, mid = self.controlnet.apply(
+                    {"params": params["controlnet"]}, lmi4, t, cond, control2,
+                    conditioning_scale=cond_scale_table[i],
+                )
             lmi9 = jnp.concatenate([lmi4, mask_lat2, masked_lat2], axis=-1)
             eps = self.unet.apply(
                 {"params": params["unet"]}, lmi9, t, cond,
@@ -135,6 +152,7 @@ class ControlNetPipeline(InpaintPipeline):
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
         seed: int = 0,
+        guess_mode: bool = False,
         output_type: str = "uint8",
         **kwargs,
     ):
@@ -197,5 +215,6 @@ class ControlNetPipeline(InpaintPipeline):
             jax.random.PRNGKey(seed),
             num_steps=num_inference_steps,
             out_uint8=output_type == "uint8",
+            guess_mode=guess_mode,
         )
         return np.asarray(out)

@@ -44,16 +44,43 @@ class InpaintPipeline:
     params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
     tokenizer: TokenizerWrapper
     dtype: jnp.dtype = jnp.bfloat16
+    # multi-chip serving: shard the image batch over the mesh's "data" axis
+    # and transformer weights over "model" (parallel/mesh.py rules).
+    # num_images_per_prompt should be a multiple of the data-axis size.
+    mesh: "Optional[object]" = None
 
     def __post_init__(self):
         cfg = self.config
         self.unet = UNet2DConditionModel(cfg.unet, dtype=self.dtype)
         self.vae = AutoencoderKL(cfg.vae, dtype=self.dtype)
         self.text_encoder = CLIPTextModel(cfg.text_encoder, dtype=self.dtype)
-        self._generate = jax.jit(
-            self._generate_fn,
-            static_argnames=("num_steps", "strength_steps", "out_uint8"),
-        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from powerpaint_tpu.parallel.mesh import (
+                DATA_AXIS,
+                param_shardings,
+            )
+
+            p_shard = {
+                k: param_shardings(self.mesh, v)
+                for k, v in self.params.items()
+            }
+            self.params = jax.device_put(self.params, p_shard)
+            batch = NamedSharding(self.mesh, P(DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            self._generate = jax.jit(
+                self._generate_fn,
+                static_argnames=("num_steps", "strength_steps", "out_uint8"),
+                in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
+                              repl, None),
+                out_shardings=batch,
+            )
+        else:
+            self._generate = jax.jit(
+                self._generate_fn,
+                static_argnames=("num_steps", "strength_steps", "out_uint8"),
+            )
 
     # ------------------------------------------------------------------ jit
 
@@ -258,9 +285,9 @@ class InpaintPipeline:
                 jnp.float32(guidance_scale),
                 rng,
                 None if latents is None else jnp.asarray(latents),
-                num_steps=num_inference_steps,
-                strength_steps=strength_steps,
-                out_uint8=out_uint8,
+                num_inference_steps,
+                strength_steps,
+                out_uint8,
             )
             out = np.asarray(out)
         _telemetry.count("images", out.shape[0])

@@ -94,3 +94,11 @@ def test_no_control_falls_back_to_v1(pipe, inputs):
     image, mask = inputs
     out = pipe(image, mask, prompt="a dog", num_inference_steps=2, seed=5)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_controlnet_guess_mode_runs(pipe, inputs):
+    image, mask = inputs
+    ctrl = canny(image)
+    out = pipe(image, mask, control_image=ctrl, prompt="a dog",
+               num_inference_steps=2, seed=5, guess_mode=True)
+    assert out.shape == (1, 64, 64, 3)

@@ -68,3 +68,10 @@ def test_v2_object_removal(pipe, inputs):
     out = pipe(image, mask, task="object-removal", guidance_scale=12,
                num_inference_steps=2, seed=1)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_v2_guess_mode_runs(pipe, inputs):
+    image, mask = inputs
+    out = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3,
+               guess_mode=True)
+    assert out.shape == (1, 64, 64, 3)
