@@ -2,11 +2,10 @@
 # remote-TPU tunnel at interpreter start (conftest forces the CPU backend
 # anyway); without it a running pytest blocks every TPU job on the host.
 test:
-	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -n 4
 
-test-par:
-	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -p xdist -n 4 2>/dev/null \
-		|| PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
+test-serial:
+	PALLAS_AXON_POOL_IPS= python -m pytest tests/ -x -q
 
 bench:
 	python bench.py

@@ -20,6 +20,13 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the ~9min compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ppt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from powerpaint_tpu.core.config import ppt_v1_config

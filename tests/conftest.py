@@ -18,3 +18,7 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh, so override after import (backend init is lazy).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# persistent compilation cache: repeat test runs skip XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/ppt_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
