@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from powerpaint_tpu.models.resnet import Downsample2D, ResnetBlock2D, Upsample2D
 from powerpaint_tpu.models.transformer import Transformer2DModel
+from powerpaint_tpu.ops.freeu import FreeUConfig, apply_freeu
 
 Taps = Optional[Tuple[jnp.ndarray, ...]]
 
@@ -164,6 +165,8 @@ class CrossAttnUpBlock2D(nn.Module):
     resnet_eps: float = 1e-5
     groups: int = 32
     use_linear_projection: bool = False
+    freeu: Optional[FreeUConfig] = None
+    resolution_idx: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -178,6 +181,7 @@ class CrossAttnUpBlock2D(nn.Module):
         skips = list(skips)
         for i in range(self.num_layers):
             res = skips.pop()
+            x, res = apply_freeu(self.resolution_idx, x, res, self.freeu)
             x = jnp.concatenate([x, res], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.resnet_eps, self.groups,
@@ -211,6 +215,8 @@ class UpBlock2D(nn.Module):
     add_upsample: bool = True
     resnet_eps: float = 1e-5
     groups: int = 32
+    freeu: Optional[FreeUConfig] = None
+    resolution_idx: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -225,6 +231,7 @@ class UpBlock2D(nn.Module):
         skips = list(skips)
         for i in range(self.num_layers):
             res = skips.pop()
+            x, res = apply_freeu(self.resolution_idx, x, res, self.freeu)
             x = jnp.concatenate([x, res], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, self.resnet_eps, self.groups,

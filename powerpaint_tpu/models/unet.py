@@ -64,6 +64,9 @@ class UNet2DConditionModel(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # FreeU (optional quality knob; reference unet enable_freeu):
+    # pass ops.freeu.FreeUConfig(b1, b2, s1, s2)
+    freeu: "Optional[object]" = None
 
     @nn.compact
     def __call__(
@@ -197,12 +200,14 @@ class UNet2DConditionModel(nn.Module):
                     num_heads=cfg.num_heads,
                     transformer_layers=cfg.transformer_layers_per_block,
                     use_linear_projection=cfg.use_linear_projection,
+                    freeu=self.freeu, resolution_idx=i,
                     name=f"up_blocks_{i}",
                     **common,
                 )(x, temb, block_skips, encoder_hidden_states, taps,
                   output_size=output_size)
             else:
                 x, _ = UpBlock2D(
+                    freeu=self.freeu, resolution_idx=i,
                     name=f"up_blocks_{i}", **common
                 )(x, temb, block_skips, None, taps, output_size=output_size)
 

@@ -48,6 +48,11 @@ class InpaintPipeline:
     # and transformer weights over "model" (parallel/mesh.py rules).
     # num_images_per_prompt should be a multiple of the data-axis size.
     mesh: "Optional[object]" = None
+    # optional per-step host callback (i, latents) -> None, invoked through
+    # jax.debug.callback (the reference's `callback` arg,
+    # pipeline_PowerPaint.py:1039; off by default per SURVEY.md §7).
+    # Set at construction — it is baked into the compiled program.
+    step_callback: "Optional[object]" = None
 
     def __post_init__(self):
         cfg = self.config
@@ -71,7 +76,8 @@ class InpaintPipeline:
             repl = NamedSharding(self.mesh, P())
             self._generate = jax.jit(
                 self._generate_fn,
-                static_argnames=("num_steps", "strength_steps", "out_uint8"),
+                static_argnames=("num_steps", "strength_steps", "out_uint8",
+                                 "eta"),
                 in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
                               repl, None),
                 out_shardings=batch,
@@ -79,7 +85,8 @@ class InpaintPipeline:
         else:
             self._generate = jax.jit(
                 self._generate_fn,
-                static_argnames=("num_steps", "strength_steps", "out_uint8"),
+                static_argnames=("num_steps", "strength_steps", "out_uint8",
+                                 "eta"),
             )
 
     # ------------------------------------------------------------------ jit
@@ -100,6 +107,8 @@ class InpaintPipeline:
         image_latents: Optional[jnp.ndarray] = None,
         known_mask: Optional[jnp.ndarray] = None,
         noise: Optional[jnp.ndarray] = None,
+        eta: float = 0.0,
+        eta_rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         unet_params = params["unet"]
         is_9ch = self.config.unet.in_channels == 9
@@ -117,7 +126,16 @@ class InpaintPipeline:
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
-            latents, state = ddim.step(sched, state, eps, i, latents)
+            if self.step_callback is not None:
+                jax.debug.callback(self.step_callback, i, latents)
+            step_noise = None
+            if eta > 0.0 and eta_rng is not None:
+                step_noise = jax.random.normal(
+                    jax.random.fold_in(eta_rng, i), latents.shape, jnp.float32
+                )
+            latents, state = ddim.step(
+                sched, state, eps, i, latents, eta=eta, noise=step_noise
+            )
             if not is_9ch and image_latents is not None:
                 # blend known region with re-noised image latents (:1025-1035)
                 t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
@@ -150,6 +168,7 @@ class InpaintPipeline:
         num_steps: int,
         strength_steps: int,
         out_uint8: bool = True,
+        eta: float = 0.0,
     ):
         # uint8 at the host<->device boundary: 4x less transfer than fp32
         # and the masked image is derived on device instead of shipped
@@ -178,7 +197,7 @@ class InpaintPipeline:
         )
 
         # --- latents ---
-        rng_noise, rng_vae, rng_img = jax.random.split(rng, 3)
+        rng_noise, rng_vae, rng_img, rng_eta = jax.random.split(rng, 4)
         masked_lat = self.vae.apply(
             {"params": params["vae"]}, masked_image, rng_vae, method="sample"
         ).astype(jnp.float32)
@@ -202,7 +221,7 @@ class InpaintPipeline:
         latents = self._denoise_loop(
             params, sched, latents, mask_lat2, masked_lat2, cond,
             guidance_scale, image_latents=image_latents, known_mask=mask_lat,
-            noise=noise,
+            noise=noise, eta=eta, eta_rng=rng_eta,
         )
 
         image = self.vae.apply(
@@ -238,6 +257,7 @@ class InpaintPipeline:
         num_inference_steps: int = 45,
         guidance_scale: float = 7.5,
         strength: float = 1.0,
+        eta: float = 0.0,
         seed: int = 0,
         num_images_per_prompt: int = 1,
         latents: Optional[np.ndarray] = None,
@@ -288,6 +308,7 @@ class InpaintPipeline:
                 num_inference_steps,
                 strength_steps,
                 out_uint8,
+                float(eta),
             )
             out = np.asarray(out)
         _telemetry.count("images", out.shape[0])

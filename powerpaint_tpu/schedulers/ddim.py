@@ -40,13 +40,27 @@ def step(
     model_out: jnp.ndarray,
     i: jnp.ndarray,
     x: jnp.ndarray,
+    *,
+    eta: float = 0.0,
+    noise: "jnp.ndarray | None" = None,
 ):
-    """x_t -> x_{t-1} (deterministic, eta=0)."""
+    """x_t -> x_{t-1}; eta>0 adds the DDIM stochastic term
+    (Song et al. eq. 12; the reference exposes it as the ``eta`` call arg,
+    pipeline_PowerPaint.py:996 extra_step_kwargs)."""
     t = sched.timesteps[i]
     t_prev = sched.prev_timesteps[i]
     a_t = alpha_at(sched, t).astype(jnp.float32)
     a_prev = alpha_at(sched, t_prev).astype(jnp.float32)
 
     eps, x0 = to_eps_x0(sched, model_out, x, t)
-    x_prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+    if eta > 0.0 and noise is not None:
+        var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        sigma = eta * jnp.sqrt(var)
+        x_prev = (
+            jnp.sqrt(a_prev) * x0
+            + jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+            + sigma * noise.astype(jnp.float32)
+        )
+    else:
+        x_prev = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
     return x_prev.astype(x.dtype), state

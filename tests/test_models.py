@@ -191,3 +191,21 @@ def test_vae_tiled_decode_matches_full():
     a = decode_tiled(vae, params, z_small, tile=16)
     b = vae.apply({"params": params}, z_small, method="decode")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_freeu_changes_output_same_params():
+    from powerpaint_tpu.ops.freeu import FreeUConfig
+
+    cfg = tiny_unet(9)
+    m = UNet2DConditionModel(cfg, dtype=F32)
+    m_freeu = UNet2DConditionModel(cfg, dtype=F32,
+                                   freeu=FreeUConfig(1.5, 1.6, 0.9, 0.2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 9))
+    t = jnp.array([10])
+    ctx = jnp.ones((1, 77, 32)) * 0.1
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, ctx)
+    base = m.apply(params, x, t, ctx)
+    fu = m_freeu.apply(params, x, t, ctx)  # same params, different forward
+    assert fu.shape == base.shape
+    assert not np.allclose(np.asarray(base), np.asarray(fu))
+    assert np.isfinite(np.asarray(fu)).all()

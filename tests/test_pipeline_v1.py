@@ -89,3 +89,34 @@ def test_outpainting_canvas(pipe):
     out = pipe(canvas8, mask8, task="image-outpainting",
                num_inference_steps=2, seed=0)
     assert out.shape == (1, 72, 72, 3)
+
+
+def test_eta_stochastic_path(pipe, inputs):
+    image, mask = inputs
+    det = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3)
+    sto = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3,
+               eta=1.0)
+    # eta adds noise -> different output, but same seed reproducible
+    assert not np.array_equal(det, sto)
+    sto2 = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3,
+                eta=1.0)
+    np.testing.assert_array_equal(sto, sto2)
+
+
+def test_step_callback_invoked():
+    from powerpaint_tpu.io.params import init_params as _ip
+    from powerpaint_tpu.testing import tiny_v1_config as _cfg
+
+    cfg = _cfg()
+    params = _ip(cfg, jax.random.PRNGKey(0), sample_hw=8, dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    seen = []
+    p = InpaintPipeline(cfg, params, tok, dtype=jnp.float32,
+                        step_callback=lambda i, lat: seen.append(int(i)))
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    p(img, mask, prompt="x", num_inference_steps=3, seed=0)
+    assert sorted(seen) == [0, 1, 2]
