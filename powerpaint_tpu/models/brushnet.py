@@ -19,7 +19,7 @@ static pytree contract instead of the reference's list-pop protocol.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,15 +16,12 @@ their token id (vocab_size + row_index).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from powerpaint_tpu.core.config import CLIPTextConfig
 from powerpaint_tpu.models.layers import LayerNorm, dense
-from powerpaint_tpu.ops.attention import xla_attention
 
 
 def quick_gelu(x):

@@ -9,7 +9,7 @@ stride-2 k3 conv halves even inputs exactly like torch Conv2d(p=1)).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax

@@ -39,7 +39,6 @@ from powerpaint_tpu.models.blocks import (
     UpBlock2D,
 )
 from powerpaint_tpu.models.layers import TimestepEmbedding, conv, timestep_sinusoid
-from powerpaint_tpu.models.resnet import ResnetBlock2D  # noqa: F401 (re-export)
 
 Taps = Optional[Tuple[jnp.ndarray, ...]]
 

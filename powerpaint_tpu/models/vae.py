@@ -8,8 +8,6 @@ single-head attention over 64x64=4096 tokens at 512 channels.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

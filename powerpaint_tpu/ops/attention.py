@@ -11,7 +11,6 @@ Layout convention: (batch, seq, heads, head_dim) — "BSNH".
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -34,7 +34,7 @@ from powerpaint_tpu.models.unet import UNet2DConditionModel
 from powerpaint_tpu.models.vae import AutoencoderKL
 from powerpaint_tpu.schedulers import unipc
 from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
-from powerpaint_tpu.text.prompts import TaskPrompts, add_task, v2_prompt_suffix
+from powerpaint_tpu.text.prompts import add_task, v2_prompt_suffix
 from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 

@@ -13,13 +13,10 @@ the v1 9-channel inpaint concat (:1686-1715).  Control image is [0,1]
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from powerpaint_tpu.core.config import PowerPaintConfig
 from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim

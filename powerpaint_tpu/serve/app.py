@@ -19,8 +19,6 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
 _HTML = """<!doctype html>
 <title>PowerPaint-TPU</title>
 <h1>PowerPaint-TPU inpainting</h1>

@@ -15,7 +15,7 @@ Everything returns NHWC numpy; pipelines move data to device once.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,8 +10,6 @@ fitting degree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 TEXT_GUIDED = "text-guided"
 SHAPE_GUIDED = "shape-guided"
 OBJECT_REMOVAL = "object-removal"

@@ -18,8 +18,6 @@ transformers at runtime:
 
 from __future__ import annotations
 
-import functools
-import gzip
 import hashlib
 import json
 import os
