@@ -27,6 +27,7 @@ from powerpaint_tpu.core.config import PowerPaintConfig
 from powerpaint_tpu.models.clip_text import CLIPTextModel
 from powerpaint_tpu.models.unet import UNet2DConditionModel
 from powerpaint_tpu.models.vae import AutoencoderKL
+from powerpaint_tpu import schedulers as sched_registry
 from powerpaint_tpu.schedulers import ddim
 from powerpaint_tpu.schedulers.common import (
     DiffusionSchedule,
@@ -76,7 +77,7 @@ class InpaintPipeline:
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta"),
+                                 "eta", "sampler"),
                 in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
                               repl, None),
                 out_shardings=batch,
@@ -85,7 +86,7 @@ class InpaintPipeline:
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta"),
+                                 "eta", "sampler"),
             )
 
     # ------------------------------------------------------------------ jit
@@ -96,7 +97,8 @@ class InpaintPipeline:
     def _denoise_loop(
         self,
         params,
-        sched: DiffusionSchedule,
+        mod,  # scheduler module (schedulers registry interface)
+        sched,
         latents: jnp.ndarray,  # (B, h, w, 4)
         mask_lat: jnp.ndarray,  # (2B, h, w, 1) CFG-doubled
         masked_lat: jnp.ndarray,  # (2B, h, w, 4)
@@ -116,7 +118,7 @@ class InpaintPipeline:
         def body(carry, i):
             latents, state = carry
             lmi = jnp.concatenate([latents, latents], axis=0)
-            lmi = ddim.scale_model_input(sched, lmi, i)
+            lmi = mod.scale_model_input(sched, lmi, i)
             if is_9ch:
                 lmi = jnp.concatenate([lmi, mask_lat, masked_lat], axis=-1)
             t = sched.timesteps[i]
@@ -127,14 +129,15 @@ class InpaintPipeline:
             eps = eps_u + guidance_scale * (eps_t - eps_u)
             if self.step_callback is not None:
                 jax.debug.callback(self.step_callback, i, latents)
-            step_noise = None
-            if eta > 0.0 and eta_rng is not None:
+            if mod is ddim and eta > 0.0 and eta_rng is not None:
                 step_noise = jax.random.normal(
                     jax.random.fold_in(eta_rng, i), latents.shape, jnp.float32
                 )
-            latents, state = ddim.step(
-                sched, state, eps, i, latents, eta=eta, noise=step_noise
-            )
+                latents, state = ddim.step(
+                    sched, state, eps, i, latents, eta=eta, noise=step_noise
+                )
+            else:
+                latents, state = mod.step(sched, state, eps, i, latents)
             if not is_9ch and image_latents is not None:
                 # blend known region with re-noised image latents (:1025-1035)
                 t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
@@ -147,7 +150,7 @@ class InpaintPipeline:
                 latents = (1.0 - m) * init_proper + m * latents
             return (latents, state), None
 
-        state = ddim.init_state(sched, latents.shape, latents.dtype)
+        state = mod.init_state(sched, latents.shape, latents.dtype)
         (latents, _), _ = jax.lax.scan(
             body, (latents, state), jnp.arange(sched.num_steps)
         )
@@ -168,13 +171,19 @@ class InpaintPipeline:
         strength_steps: int,
         out_uint8: bool = True,
         eta: float = 0.0,
+        sampler: str = "ddim",
     ):
         # uint8 at the host<->device boundary: 4x less transfer than fp32
         # and the masked image is derived on device instead of shipped
         init_image = image_u8.astype(jnp.float32) / 127.5 - 1.0
         mask = (mask_u8 >= 128).astype(jnp.float32)
         masked_image = init_image * (1.0 - mask)
-        sched = make_schedule(self.config.scheduler, num_steps)
+        mod, make = sched_registry.get(sampler)
+        sched = make(self.config.scheduler, num_steps)
+        if strength_steps < num_steps and sampler != "ddim":
+            raise NotImplementedError(
+                "strength<1 is only supported with the ddim sampler"
+            )
         if strength_steps < num_steps:
             # strength<1: truncate to the last `strength_steps` timesteps
             sched = dataclasses.replace(
@@ -206,6 +215,10 @@ class InpaintPipeline:
 
         noise = jax.random.normal(rng_noise, (b, h8, w8, 4), dtype=jnp.float32)
         image_latents = None
+        if self.config.unet.in_channels == 4 and sampler != "ddim":
+            raise NotImplementedError(
+                "4-channel known-region blending requires the ddim sampler"
+            )
         if strength_steps < num_steps or self.config.unet.in_channels == 4:
             image_latents = self.vae.apply(
                 {"params": params["vae"]}, init_image, rng_img, method="sample"
@@ -218,7 +231,7 @@ class InpaintPipeline:
             latents = noise * sched.init_noise_sigma
 
         latents = self._denoise_loop(
-            params, sched, latents, mask_lat2, masked_lat2, cond,
+            params, mod, sched, latents, mask_lat2, masked_lat2, cond,
             guidance_scale, image_latents=image_latents, known_mask=mask_lat,
             noise=noise, eta=eta, eta_rng=rng_eta,
         )
@@ -257,6 +270,7 @@ class InpaintPipeline:
         guidance_scale: float = 7.5,
         strength: float = 1.0,
         eta: float = 0.0,
+        scheduler: str = "ddim",
         seed: int = 0,
         num_images_per_prompt: int = 1,
         latents: Optional[np.ndarray] = None,
@@ -308,6 +322,7 @@ class InpaintPipeline:
                 strength_steps,
                 out_uint8,
                 float(eta),
+                scheduler,
             )
             out = np.asarray(out)
         _telemetry.count("images", out.shape[0])

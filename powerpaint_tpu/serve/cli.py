@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=45)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheduler", default="ddim",
+                   choices=["ddim", "pndm", "unipc", "dpm", "euler"],
+                   help="v1 sampler (v2 always uses UniPC, as the reference)")
     p.add_argument("--control_type", default=None,
                    choices=[None, "canny", "depth", "hed", "pose"])
     p.add_argument("--horizontal_expansion", type=float, default=1.0)
@@ -136,6 +139,8 @@ def run_one_shot(args) -> int:
     pipe = build_pipeline(args)
 
     kwargs = {}
+    if args.version == "ppt-v1" and not args.control_type:
+        kwargs["scheduler"] = args.scheduler
     if args.control_type:
         from powerpaint_tpu.tasks.control import get_control_image
 

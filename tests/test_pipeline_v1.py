@@ -120,3 +120,15 @@ def test_step_callback_invoked():
     mask[8:24, 8:24] = 1.0
     p(img, mask, prompt="x", num_inference_steps=3, seed=0)
     assert sorted(seen) == [0, 1, 2]
+
+
+def test_scheduler_choice(pipe, inputs):
+    image, mask = inputs
+    outs = {}
+    for name in ("ddim", "pndm", "unipc", "dpm", "euler"):
+        outs[name] = pipe(image, mask, prompt="x", num_inference_steps=2,
+                          seed=3, scheduler=name)
+        assert outs[name].shape == (1, 64, 64, 3)
+    # different samplers take different trajectories
+    assert not np.array_equal(outs["ddim"], outs["unipc"])
+    assert not np.array_equal(outs["ddim"], outs["euler"])
