@@ -38,7 +38,14 @@ def main() -> None:
     )
 
     platform = jax.devices()[0].platform
-    cfg = ppt_v1_config()
+    which = os.environ.get("POWERPAINT_BENCH_PIPELINE", "v1")
+    if which == "v2":
+        from powerpaint_tpu.core.config import ppt_v2_config
+        from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+        cfg = ppt_v2_config()
+    else:
+        cfg = ppt_v1_config()
 
     params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
                          dtype=jnp.bfloat16)
@@ -46,7 +53,10 @@ def main() -> None:
 
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
-    pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    if which == "v2":
+        pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    else:
+        pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     image = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
@@ -100,7 +110,7 @@ def main() -> None:
         }
 
     result = {
-        "metric": "images/sec/chip @512x512 20-step ppt-v1 inpaint",
+        "metric": f"images/sec/chip @512x512 20-step ppt-{which} inpaint",
         "value": round(imgs_per_sec, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec / 1.5, 4),
