@@ -45,6 +45,9 @@ class BrushNetPipeline:
     #               text_encoder_brushnet (task tokens)
     tokenizer: TokenizerWrapper
     dtype: jnp.dtype = jnp.bfloat16
+    # multi-chip serving (see pipelines/inpaint.py): batch over "data",
+    # transformer weights over "model"
+    mesh: "Optional[object]" = None
 
     def __post_init__(self):
         cfg = self.config
@@ -56,10 +59,31 @@ class BrushNetPipeline:
         self.text_plain = CLIPTextModel(
             cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
         )
-        self._generate = jax.jit(
-            self._generate_fn,
-            static_argnames=("num_steps", "out_uint8", "guess_mode")
-        )
+        statics = ("num_steps", "out_uint8", "guess_mode")
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from powerpaint_tpu.parallel.mesh import DATA_AXIS, param_shardings
+
+            p_shard = {
+                k: param_shardings(self.mesh, v)
+                for k, v in self.params.items()
+            }
+            self.params = jax.device_put(self.params, p_shard)
+            batch = NamedSharding(self.mesh, P(DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            # args: params, ids_task, ids_plain, tradoff, tradoff_nag,
+            #       image_u8, mask_u8, guidance, cond_scale_table, rng, latents
+            self._generate = jax.jit(
+                self._generate_fn, static_argnames=statics,
+                in_shardings=(p_shard, repl, repl, repl, repl, batch, batch,
+                              repl, repl, repl, None),
+                out_shardings=batch,
+            )
+        else:
+            self._generate = jax.jit(
+                self._generate_fn, static_argnames=statics
+            )
 
     def _generate_fn(
         self,
@@ -249,8 +273,8 @@ class BrushNetPipeline:
             jnp.asarray(cond_scale_table),
             rng,
             None if latents is None else jnp.asarray(latents),
-            num_steps=num_inference_steps,
-            out_uint8=output_type == "uint8",
-            guess_mode=guess_mode,
+            num_inference_steps,
+            output_type == "uint8",
+            guess_mode,
         )
         return np.asarray(out)

@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "512 outpaint in the reference)")
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test config (fast smoke runs)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the generate call")
     return p
 
 
@@ -146,18 +148,21 @@ def run_one_shot(args) -> int:
 
         kwargs["control_image"] = get_control_image(args.control_type, image)
 
+    from powerpaint_tpu.core.metrics import jax_profile_trace
+
     t0 = time.time()
-    out = pipe(
-        image, mask,
-        prompt=args.prompt,
-        negative_prompt=args.negative_prompt,
-        task=args.task,
-        fitting_degree=args.fitting_degree,
-        num_inference_steps=args.steps,
-        guidance_scale=args.guidance_scale,
-        seed=args.seed,
-        **kwargs,
-    )
+    with jax_profile_trace(args.profile):
+        out = pipe(
+            image, mask,
+            prompt=args.prompt,
+            negative_prompt=args.negative_prompt,
+            task=args.task,
+            fitting_degree=args.fitting_degree,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            seed=args.seed,
+            **kwargs,
+        )
     dt = time.time() - t0
     final = blend_result(out[0], image, mask)
     Image.fromarray(final).save(args.output)

@@ -50,3 +50,36 @@ def test_sharded_pipeline_matches_single_device():
     # small tolerance window
     diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 2, diff.max()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_v2_pipeline_runs():
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.testing import tiny_v2_config
+
+    cfg = tiny_v2_config()
+    cfg = cfg.replace(
+        unet=cfg.unet.replace(block_out_channels=(32, 64, 64, 64),
+                              attention_head_dim=2),
+        brushnet=cfg.brushnet.replace(
+            base=cfg.brushnet.base.replace(
+                block_out_channels=(32, 64, 64, 64), attention_head_dim=2
+            )
+        ),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+
+    mesh = build_mesh(jax.devices()[:8], model_parallel=2)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = pipe(img, mask, prompt="a cat", num_inference_steps=2, seed=1,
+               num_images_per_prompt=4)
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
