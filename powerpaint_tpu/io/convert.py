@@ -194,6 +194,8 @@ def convert_clip_text(
     trainables = {}
     plain = {}
     for k, v in sd.items():
+        if k.endswith("position_ids"):  # transformers buffer, not a param
+            continue
         m = re.search(r"trainable_embeddings\.([A-Za-z_0-9]+)$", k)
         if m:
             trainables[m.group(1)] = v
@@ -213,6 +215,109 @@ def convert_clip_text(
         tree["external_embedding"] = np.concatenate(rows, axis=0)
     # drop the (vocab-extended) rows if the table already includes externals
     return tree
+
+
+# ---------------------------------------------------------------------------
+# IP-Adapter (reference loads via diffusers load_ip_adapter; consumed by the
+# v2 pipeline, pipeline_PowerPaint_Brushnet_CA.py:650-707)
+# ---------------------------------------------------------------------------
+
+
+def ip_adapter_attn2_paths(unet_cfg) -> List[Tuple[str, ...]]:
+    """Ordered flax paths of every cross-attention (attn2) module, matching
+    diffusers' ``attn_processors`` traversal order — the reference UNet fork
+    registers down_blocks and up_blocks BEFORE mid_block
+    (unet_2d_condition.py:310-311,381), so checkpoint ids 1,3,5,... map to
+    [down attn2s..., up attn2s..., mid attn2]."""
+    from powerpaint_tpu.core.config import (
+        CROSS_ATTN_DOWN,
+        CROSS_ATTN_UP,
+        MID_CROSS_ATTN,
+    )
+
+    paths: List[Tuple[str, ...]] = []
+    for i, bt in enumerate(unet_cfg.down_block_types):
+        if bt == CROSS_ATTN_DOWN:
+            for j in range(unet_cfg.layers_per_block):
+                for k in range(unet_cfg.transformer_layers_per_block):
+                    paths.append(
+                        (f"down_blocks_{i}", f"attentions_{j}",
+                         f"blocks_{k}", "attn2")
+                    )
+    for i, bt in enumerate(unet_cfg.up_block_types):
+        if bt == CROSS_ATTN_UP:
+            for j in range(unet_cfg.layers_per_block + 1):
+                for k in range(unet_cfg.transformer_layers_per_block):
+                    paths.append(
+                        (f"up_blocks_{i}", f"attentions_{j}",
+                         f"blocks_{k}", "attn2")
+                    )
+    if unet_cfg.mid_block_type == MID_CROSS_ATTN:
+        for k in range(unet_cfg.transformer_layers_per_block):
+            paths.append(("mid_block", "attentions_0", f"blocks_{k}", "attn2"))
+    return paths
+
+
+def convert_ip_adapter(sd: Dict, unet_cfg) -> dict:
+    """IP-Adapter checkpoint -> partial UNet tree (encoder_hid_proj +
+    per-attn2 to_k_ip/to_v_ip).  Accepts both layouts: the original nested
+    {'image_proj': {...}, 'ip_adapter': {'1.to_k_ip.weight': ...}} and flat
+    'image_proj.proj.weight' / 'ip_adapter.1.to_k_ip.weight' safetensors
+    keys.  Merge into UNet params with ``merge_ip_adapter``."""
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                flat[f"{k}.{k2}"] = v2
+        else:
+            flat[k] = v
+
+    def get(*names):
+        for n in names:
+            if n in flat:
+                return np.asarray(flat[n])
+        raise KeyError(f"ip-adapter checkpoint missing any of {names}")
+
+    tree: dict = {
+        "encoder_hid_proj": {
+            "image_embeds": {
+                "kernel": np.transpose(
+                    get("image_proj.proj.weight",
+                        "image_proj.image_embeds.weight")
+                ),
+                "bias": get("image_proj.proj.bias",
+                            "image_proj.image_embeds.bias"),
+            },
+            "norm": {
+                "scale": get("image_proj.norm.weight"),
+                "bias": get("image_proj.norm.bias"),
+            },
+        }
+    }
+    for idx, path in enumerate(ip_adapter_attn2_paths(unet_cfg)):
+        kid = 2 * idx + 1
+        for name in ("to_k_ip", "to_v_ip"):
+            w = get(f"ip_adapter.{kid}.{name}.weight")
+            _insert(tree, path + (name, "kernel"), np.transpose(w))
+    return tree
+
+
+def merge_ip_adapter(unet_tree: dict, ip_tree: dict) -> dict:
+    """Deep-merge converted IP-Adapter weights into a UNet param tree (the
+    functional analog of diffusers ``load_ip_adapter``); returns a new tree."""
+    import copy as _copy
+
+    out = _copy.deepcopy(unet_tree)
+
+    def rec(dst: dict, src: dict) -> None:
+        for k, v in src.items():
+            if isinstance(v, dict):
+                rec(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+
+    rec(out, ip_tree)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,24 @@ class VAEAttention(nn.Module):
         return out.reshape(b, h, w, c) + residual
 
 
+class VAEDownsample2D(nn.Module):
+    """Asymmetric-pad stride-2 conv (diffusers ``Downsample2D`` with pad=0:
+    F.pad (0,1,0,1) then VALID conv). Conv is nested as ``conv`` to match the
+    real checkpoint key ``downsamplers.0.conv.weight``."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
 class DownEncoderBlock2D(nn.Module):
     out_channels: int
     num_layers: int = 2
@@ -60,11 +78,8 @@ class DownEncoderBlock2D(nn.Module):
                 name=f"resnets_{i}",
             )(x)
         if self.add_downsample:
-            # VAE downsample uses asymmetric (0,1) padding in torch
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(
-                self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
-                dtype=self.dtype, param_dtype=self.param_dtype,
+            x = VAEDownsample2D(
+                self.out_channels, self.dtype, self.param_dtype,
                 name="downsamplers_0",
             )(x)
         return x

@@ -3,8 +3,9 @@
 The reference's hottest non-matmul op: every ResnetBlock2D runs
 GroupNorm(32) -> SiLU -> Conv twice (diffusers ResnetBlock2D, invoked from
 reference unet_2d_blocks.py).  On TPU the XLA path below is written so the
-normalize+silu epilogue fuses into the following conv; a Pallas kernel
-(`ops/pallas_groupnorm.py`) covers the standalone case.
+normalize+silu epilogue fuses into the following conv.  A dedicated Pallas
+GroupNorm kernel was measured and rejected (ROADMAP.md: 0.65 ms total across
+the UNet; bf16 stats were slower than this fused XLA path).
 
 Statistics are always fp32 regardless of activation dtype.
 """
