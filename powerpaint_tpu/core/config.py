@@ -102,6 +102,12 @@ class UNetConfig(_ConfigBase):
     time_cond_proj_dim: Optional[int] = None
     conv_in_kernel: int = 3
     conv_out_kernel: int = 3
+    # IP-Adapter (reference pipeline_PowerPaint_Brushnet_CA.py:650-707):
+    # ip_adapter_dim = CLIP image-embed dim (1024 for the SD1.5 adapters'
+    # OpenCLIP ViT-H tower); 0 disables. ip_adapter_tokens = projected
+    # context tokens per image (4 for ip-adapter_sd15).
+    ip_adapter_dim: int = 0
+    ip_adapter_tokens: int = 4
 
     @property
     def num_heads(self) -> int:

@@ -45,8 +45,14 @@ def init_params(
 
     init_jit = jax.jit
 
+    ip_embeds = (
+        jnp.zeros((1, config.unet.ip_adapter_dim))
+        if config.unet.ip_adapter_dim else None
+    )
     params = {
-        "unet": init_jit(unet.init)(keys[0], sample, t, ctx)["params"],
+        "unet": init_jit(unet.init)(
+            keys[0], sample, t, ctx, image_embeds=ip_embeds
+        )["params"],
         "vae": init_jit(vae.init)(
             keys[1], img, jax.random.PRNGKey(0)
         )["params"],

@@ -41,7 +41,8 @@ class CrossAttnDownBlock2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, add_samples: Taps = None):
+    def __call__(self, x, temb, context, add_samples: Taps = None,
+                 ip_context=None, ip_scale=1.0):
         skips = []
         it = iter(add_samples) if add_samples is not None else None
         head_dim = self.out_channels // self.num_heads
@@ -55,7 +56,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 self.num_heads, head_dim, self.transformer_layers,
                 self.use_linear_projection, self.dtype, self.param_dtype,
                 name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, ip_context, ip_scale)
             if it is not None:
                 x = x + next(it)
             skips.append(x)
@@ -115,7 +116,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context=None):
+    def __call__(self, x, temb, context=None, ip_context=None, ip_scale=1.0):
         head_dim = self.channels // self.num_heads
         x = ResnetBlock2D(
             self.channels, self.resnet_eps, self.groups, dtype=self.dtype,
@@ -125,7 +126,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             self.num_heads, head_dim, self.transformer_layers,
             self.use_linear_projection, self.dtype, self.param_dtype,
             name="attentions_0",
-        )(x, context)
+        )(x, context, ip_context, ip_scale)
         x = ResnetBlock2D(
             self.channels, self.resnet_eps, self.groups, dtype=self.dtype,
             param_dtype=self.param_dtype, name="resnets_1",
@@ -174,6 +175,7 @@ class CrossAttnUpBlock2D(nn.Module):
     def __call__(
         self, x, temb, skips, context, add_samples: Taps = None,
         emit: bool = False, output_size: Optional[tuple] = None,
+        ip_context=None, ip_scale=1.0,
     ):
         emitted = []
         it = iter(add_samples) if add_samples is not None else None
@@ -192,7 +194,7 @@ class CrossAttnUpBlock2D(nn.Module):
                 self.num_heads, head_dim, self.transformer_layers,
                 self.use_linear_projection, self.dtype, self.param_dtype,
                 name=f"attentions_{i}",
-            )(x, context)
+            )(x, context, ip_context, ip_scale)
             if emit:
                 emitted.append(x)
             if it is not None:

@@ -23,6 +23,13 @@ class Attention(nn.Module):
 
     Matches diffusers ``Attention`` for SD1.5: q/k/v projections without
     bias, output projection with bias.
+
+    IP-Adapter decoupled cross-attention (diffusers IPAdapterAttnProcessor,
+    used by the reference v2 pipeline through load_ip_adapter —
+    pipeline_PowerPaint_Brushnet_CA.py:650-707): when ``ip_context`` (the
+    projected image tokens) is given, extra bias-free ``to_k_ip``/``to_v_ip``
+    projections attend the SAME queries over the image tokens and the result
+    is added, scaled, BEFORE the output projection.
     """
 
     num_heads: int
@@ -31,7 +38,13 @@ class Attention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        context: Optional[jnp.ndarray] = None,
+        ip_context: Optional[jnp.ndarray] = None,
+        ip_scale=1.0,
+    ):
         # x: (B, S, C); context: (B, Skv, Cctx) or None for self-attention
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
@@ -50,6 +63,18 @@ class Attention(nn.Module):
         v = v.reshape(b, skv, self.num_heads, self.head_dim)
 
         out = attention(q, k, v)
+
+        if ip_context is not None:
+            n_ip = ip_context.shape[1]
+            k_ip = dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                         use_bias=False, name="to_k_ip")(ip_context)
+            v_ip = dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                         use_bias=False, name="to_v_ip")(ip_context)
+            k_ip = k_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+            v_ip = v_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+            out_ip = attention(q, k_ip, v_ip)
+            out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
+
         out = out.reshape(b, s, inner)
         return dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="to_out")(out)
@@ -81,13 +106,15 @@ class BasicTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_context=None, ip_scale=1.0):
         h = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, self.dtype,
                           self.param_dtype, name="attn1")(h)
         h = LayerNorm(param_dtype=self.param_dtype, name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim, self.dtype,
-                          self.param_dtype, name="attn2")(h, context)
+                          self.param_dtype, name="attn2")(
+            h, context, ip_context, ip_scale
+        )
         h = LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
         x = x + FeedForward(dtype=self.dtype, param_dtype=self.param_dtype,
                             name="ff")(h)
@@ -105,7 +132,7 @@ class Transformer2DModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, ip_context=None, ip_scale=1.0):
         b, h, w, c = x.shape
         residual = x
         inner = self.num_heads * self.head_dim
@@ -122,7 +149,7 @@ class Transformer2DModel(nn.Module):
             y = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.dtype, self.param_dtype,
                 name=f"blocks_{i}",
-            )(y, context)
+            )(y, context, ip_context, ip_scale)
         if self.use_linear_projection:
             y = dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="proj_out")(y)

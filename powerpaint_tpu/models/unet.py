@@ -80,10 +80,24 @@ class UNet2DConditionModel(nn.Module):
         down_block_additional_residuals: Taps = None,  # controlnet (12)
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         timestep_cond: Optional[jnp.ndarray] = None,
+        image_embeds: Optional[jnp.ndarray] = None,  # IP-Adapter (B, ip_dim)
+        ip_scale=1.0,
     ) -> jnp.ndarray:
         cfg = self.config
         is_brushnet = down_block_add_samples is not None
         is_controlnet = down_block_additional_residuals is not None
+
+        # IP-Adapter: project raw CLIP image embeds to extra context tokens
+        # (reference unet_2d_condition.py:1030-1040 'ip_image_proj' +
+        # diffusers IPAdapterAttnProcessor decoupled K/V in every attn2)
+        ip_context = None
+        if image_embeds is not None:
+            from powerpaint_tpu.models.projection import ImageProjection
+
+            ip_context = ImageProjection(
+                cfg.cross_attention_dim, cfg.ip_adapter_tokens,
+                self.dtype, self.param_dtype, name="encoder_hid_proj",
+            )(image_embeds)
 
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -140,7 +154,7 @@ class UNet2DConditionModel(nn.Module):
                     use_linear_projection=cfg.use_linear_projection,
                     name=f"down_blocks_{i}",
                     **common,
-                )(x, temb, encoder_hidden_states, taps)
+                )(x, temb, encoder_hidden_states, taps, ip_context, ip_scale)
             else:
                 x, block_skips = DownBlock2D(
                     name=f"down_blocks_{i}", **common
@@ -157,7 +171,7 @@ class UNet2DConditionModel(nn.Module):
                 cfg.transformer_layers_per_block, cfg.norm_eps,
                 cfg.norm_num_groups, cfg.use_linear_projection, self.dtype,
                 self.param_dtype, name="mid_block",
-            )(x, temb, encoder_hidden_states)
+            )(x, temb, encoder_hidden_states, ip_context, ip_scale)
         elif cfg.mid_block_type == MID_RESNET:
             x = MidBlock2D(
                 cfg.block_out_channels[-1], cfg.norm_eps, cfg.norm_num_groups,
@@ -203,7 +217,8 @@ class UNet2DConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                     **common,
                 )(x, temb, block_skips, encoder_hidden_states, taps,
-                  output_size=output_size)
+                  output_size=output_size, ip_context=ip_context,
+                  ip_scale=ip_scale)
             else:
                 x, _ = UpBlock2D(
                     freeu=self.freeu, resolution_idx=i,

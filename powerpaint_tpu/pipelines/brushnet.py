@@ -73,11 +73,12 @@ class BrushNetPipeline:
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
             # args: params, ids_task, ids_plain, tradoff, tradoff_nag,
-            #       image_u8, mask_u8, guidance, cond_scale_table, rng, latents
+            #       image_u8, mask_u8, guidance, cond_scale_table, rng,
+            #       latents, ip_embeds, ip_scale
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics,
                 in_shardings=(p_shard, repl, repl, repl, repl, batch, batch,
-                              repl, repl, repl, None),
+                              repl, repl, repl, None, None, None),
                 out_shardings=batch,
             )
         else:
@@ -98,6 +99,8 @@ class BrushNetPipeline:
         cond_scale_table: jnp.ndarray,  # (S,) brushnet scale per step
         rng: jax.Array,
         latents_in: Optional[jnp.ndarray],
+        ip_embeds: Optional[jnp.ndarray],  # (2B, ip_dim) [uncond | cond]
+        ip_scale: jnp.ndarray,
         num_steps: int,
         out_uint8: bool = True,
         guess_mode: bool = False,
@@ -176,6 +179,8 @@ class BrushNetPipeline:
                 down_block_add_samples=down,
                 mid_block_add_sample=mid,
                 up_block_add_samples=up,
+                image_embeds=ip_embeds,
+                ip_scale=ip_scale,
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
@@ -216,8 +221,17 @@ class BrushNetPipeline:
         num_images_per_prompt: int = 1,
         guess_mode: bool = False,
         latents: Optional[np.ndarray] = None,
+        ip_adapter_image_embeds: Optional[np.ndarray] = None,
+        ip_adapter_scale: float = 1.0,
         output_type: str = "uint8",
     ):
+        """``ip_adapter_image_embeds``: raw CLIP image embeds, shape
+        (ip_adapter_dim,) or (B, ip_adapter_dim) — the reference's
+        ``ip_adapter_image_embeds`` surface
+        (pipeline_PowerPaint_Brushnet_CA.py:689-706); the unconditional
+        half is zeros exactly as the reference's ``encode_image``
+        (:650-654). Requires params converted with io.convert
+        ``convert_ip_adapter`` merged into the UNet tree."""
         from powerpaint_tpu.core.validation import (
             check_call_args,
             check_image_mask,
@@ -260,6 +274,18 @@ class BrushNetPipeline:
         )
         cond_scale_table = keeps * brushnet_conditioning_scale
 
+        ip_embeds = None
+        if ip_adapter_image_embeds is not None:
+            e = np.asarray(ip_adapter_image_embeds, np.float32)
+            if e.ndim == 1:
+                e = e[None]
+            if e.shape[0] == 1:
+                e = np.tile(e, (num_images_per_prompt, 1))
+            # CFG pair: unconditional half is zeros (reference :650-654)
+            ip_embeds = jnp.asarray(
+                np.concatenate([np.zeros_like(e), e], axis=0)
+            )
+
         rng = jax.random.PRNGKey(seed)
         out = self._generate(
             self.params,
@@ -273,6 +299,8 @@ class BrushNetPipeline:
             jnp.asarray(cond_scale_table),
             rng,
             None if latents is None else jnp.asarray(latents),
+            ip_embeds,
+            jnp.float32(ip_adapter_scale),
             num_inference_steps,
             output_type == "uint8",
             guess_mode,
