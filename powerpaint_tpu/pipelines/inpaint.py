@@ -29,11 +29,6 @@ from powerpaint_tpu.models.unet import UNet2DConditionModel
 from powerpaint_tpu.models.vae import AutoencoderKL
 from powerpaint_tpu import schedulers as sched_registry
 from powerpaint_tpu.schedulers import ddim
-from powerpaint_tpu.schedulers.common import (
-    DiffusionSchedule,
-    add_noise,
-    make_schedule,
-)
 from powerpaint_tpu.text.prompts import TaskPrompts, add_task
 from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
@@ -140,10 +135,11 @@ class InpaintPipeline:
                 latents, state = mod.step(sched, state, eps, i, latents)
             if not is_9ch and image_latents is not None:
                 # blend known region with re-noised image latents (:1025-1035)
-                t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
+                # — in the sampler's own latent space (VP for ddim/pndm/
+                # unipc/dpm, unscaled-sigma for euler)
                 init_proper = jnp.where(
                     i < sched.num_steps - 1,
-                    add_noise(sched, image_latents, noise, t_next),
+                    mod.add_noise_at(sched, image_latents, noise, i + 1),
                     image_latents,
                 )
                 m = known_mask[:b]
@@ -179,19 +175,11 @@ class InpaintPipeline:
         mask = (mask_u8 >= 128).astype(jnp.float32)
         masked_image = init_image * (1.0 - mask)
         mod, make = sched_registry.get(sampler)
-        sched = make(self.config.scheduler, num_steps)
-        if strength_steps < num_steps and sampler != "ddim":
-            raise NotImplementedError(
-                "strength<1 is only supported with the ddim sampler"
-            )
-        if strength_steps < num_steps:
-            # strength<1: truncate to the last `strength_steps` timesteps
-            sched = dataclasses.replace(
-                sched,
-                timesteps=sched.timesteps[num_steps - strength_steps :],
-                prev_timesteps=sched.prev_timesteps[num_steps - strength_steps :],
-                num_steps=strength_steps,
-            )
+        # strength<1 truncates to the last `strength_steps` timesteps —
+        # sampler-agnostic: each scheduler rebuilds its tables on the
+        # truncated grid (reference get_timesteps, pipeline_PowerPaint.py:713-720)
+        keep = strength_steps if strength_steps < num_steps else None
+        sched = make(self.config.scheduler, num_steps, keep_steps=keep)
         b, h, w, _ = init_image.shape
         h8, w8 = h // 8, w // 8
 
@@ -215,10 +203,6 @@ class InpaintPipeline:
 
         noise = jax.random.normal(rng_noise, (b, h8, w8, 4), dtype=jnp.float32)
         image_latents = None
-        if self.config.unet.in_channels == 4 and sampler != "ddim":
-            raise NotImplementedError(
-                "4-channel known-region blending requires the ddim sampler"
-            )
         if strength_steps < num_steps or self.config.unet.in_channels == 4:
             image_latents = self.vae.apply(
                 {"params": params["vae"]}, init_image, rng_img, method="sample"
@@ -226,7 +210,7 @@ class InpaintPipeline:
         if latents_in is not None:
             latents = latents_in * sched.init_noise_sigma
         elif strength_steps < num_steps:
-            latents = add_noise(sched, image_latents, noise, sched.timesteps[0])
+            latents = mod.add_noise_at(sched, image_latents, noise, 0)
         else:
             latents = noise * sched.init_noise_sigma
 

@@ -72,9 +72,23 @@ def spaced_timesteps(cfg: SchedulerConfig, num_steps: int) -> np.ndarray:
     return np.clip(ts, 0, T - 1)
 
 
-def make_schedule(cfg: SchedulerConfig, num_steps: int) -> DiffusionSchedule:
-    acp = alphas_cumprod(cfg)
+def kept_timesteps(
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+) -> np.ndarray:
+    """Descending inference timesteps, truncated to the LAST ``keep_steps``
+    for strength<1 (the reference's get_timesteps slicing,
+    pipeline_PowerPaint.py:713-720)."""
     ts = spaced_timesteps(cfg, num_steps)
+    if keep_steps is not None and keep_steps < num_steps:
+        ts = ts[num_steps - keep_steps:]
+    return ts
+
+
+def make_schedule(
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+) -> DiffusionSchedule:
+    acp = alphas_cumprod(cfg)
+    ts = kept_timesteps(cfg, num_steps, keep_steps)
     prev = ts - cfg.num_train_timesteps // num_steps
     final = 1.0 if cfg.set_alpha_to_one else float(acp[0])
     return DiffusionSchedule(
@@ -83,7 +97,7 @@ def make_schedule(cfg: SchedulerConfig, num_steps: int) -> DiffusionSchedule:
         final_alpha_cumprod=final,
         timesteps=jnp.asarray(ts, dtype=jnp.int32),
         prev_timesteps=jnp.asarray(prev, dtype=jnp.int32),
-        num_steps=num_steps,
+        num_steps=len(ts),
     )
 
 

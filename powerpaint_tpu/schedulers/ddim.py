@@ -13,9 +13,18 @@ import jax.numpy as jnp
 
 from powerpaint_tpu.schedulers.common import (
     DiffusionSchedule,
+    add_noise,
     alpha_at,
     to_eps_x0,
 )
+
+
+def add_noise_at(sched: DiffusionSchedule, x0, noise, i):
+    """q(x_t|x0) at step index i of the (possibly truncated) schedule —
+    the sampler-space noising used for strength<1 init and known-region
+    blending (reference pipeline_PowerPaint.py:713-720, 1025-1035)."""
+    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
+    return add_noise(sched, x0, noise, t)
 
 
 class DDIMState(NamedTuple):

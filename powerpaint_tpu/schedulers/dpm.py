@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, spaced_timesteps
+from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
 
 
 class DPMCoeffs(NamedTuple):
@@ -49,10 +49,15 @@ class DPMSchedule:
         return 1.0
 
 
-def make_dpm_schedule(cfg: SchedulerConfig, num_steps: int) -> DPMSchedule:
+def make_dpm_schedule(
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+) -> DPMSchedule:
+    """``keep_steps`` truncates to the last steps for strength<1; the
+    first-order warmup re-primes at the truncated start (diffusers
+    lower_order_nums counts from the first executed step)."""
     acp = alphas_cumprod(cfg)
-    ts = spaced_timesteps(cfg, num_steps)
-    S = num_steps
+    ts = kept_timesteps(cfg, num_steps, keep_steps)
+    S = len(ts)
     alpha = np.sqrt(acp)
     sigma = np.sqrt(1.0 - acp)
     lam = np.log(alpha) - np.log(sigma)
@@ -95,6 +100,17 @@ def make_dpm_schedule(cfg: SchedulerConfig, num_steps: int) -> DPMSchedule:
         ),
         num_steps=S,
     )
+
+
+def add_noise_at(sched: DPMSchedule, x0, noise, i):
+    """q(x_t|x0) at step index i (VP space)."""
+    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
+    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
+    while a.ndim < x0.ndim:
+        a = a[..., None]
+    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
+        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
+    return out.astype(x0.dtype)
 
 
 def init_state(sched: DPMSchedule, shape, dtype) -> DPMState:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, spaced_timesteps
+from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
 
 
 class EulerState(NamedTuple):
@@ -37,9 +37,11 @@ class EulerSchedule:
         return self.init_noise_sigma_val
 
 
-def make_euler_schedule(cfg: SchedulerConfig, num_steps: int) -> EulerSchedule:
+def make_euler_schedule(
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+) -> EulerSchedule:
     acp = alphas_cumprod(cfg)
-    ts = spaced_timesteps(cfg, num_steps)
+    ts = kept_timesteps(cfg, num_steps, keep_steps)
     sig = np.sqrt((1.0 - acp[ts]) / acp[ts])
     sigmas = np.concatenate([sig, [0.0]]).astype(np.float32)
     init_sigma = float(np.sqrt(sigmas[0] ** 2 + 1.0))
@@ -47,9 +49,18 @@ def make_euler_schedule(cfg: SchedulerConfig, num_steps: int) -> EulerSchedule:
         config=cfg,
         timesteps=jnp.asarray(ts, jnp.int32),
         sigmas=jnp.asarray(sigmas),
-        num_steps=num_steps,
+        num_steps=len(ts),
         init_noise_sigma_val=init_sigma,
     )
+
+
+def add_noise_at(sched: EulerSchedule, x0, noise, i):
+    """Euler latents live in UNSCALED sigma space (diffusers
+    EulerDiscreteScheduler.add_noise): x = x0 + sigma_i * noise.  At
+    i == num_steps, sigma is 0 and this returns x0 exactly."""
+    s = sched.sigmas[jnp.clip(i, 0, sched.num_steps)]
+    return (x0.astype(jnp.float32)
+            + s * noise.astype(jnp.float32)).astype(x0.dtype)
 
 
 def init_state(sched, shape, dtype) -> EulerState:

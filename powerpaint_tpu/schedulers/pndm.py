@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, spaced_timesteps
+from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
 
 
 class PNDMCoeffs(NamedTuple):
@@ -50,10 +50,16 @@ class PNDMSchedule:
         return 1.0
 
 
-def make_pndm_schedule(cfg: SchedulerConfig, num_steps: int) -> PNDMSchedule:
+def make_pndm_schedule(
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+) -> PNDMSchedule:
+    """``keep_steps`` truncates to the last (lowest-t) steps for strength<1,
+    re-priming the PLMS warmup at the truncated start.  (diffusers' sliced
+    PNDM instead keeps its counter quirk and silently skips one transition;
+    re-priming is the coherent generalization of the same warmup.)"""
     acp = alphas_cumprod(cfg)
     ratio = cfg.num_train_timesteps // num_steps
-    asc = spaced_timesteps(cfg, num_steps)[::-1].copy()  # ascending
+    asc = kept_timesteps(cfg, num_steps, keep_steps)[::-1].copy()  # ascending
     # PLMS visit sequence: [...,:-1] ++ [-2:-1] ++ [-1:], reversed
     visits = np.concatenate([asc[:-1], asc[-2:-1], asc[-1:]])[::-1].copy()
     n = len(visits)  # S+1
@@ -109,6 +115,17 @@ def make_pndm_schedule(cfg: SchedulerConfig, num_steps: int) -> PNDMSchedule:
         ),
         num_steps=n,
     )
+
+
+def add_noise_at(sched: PNDMSchedule, x0, noise, i):
+    """q(x_t|x0) at visit index i (VP space)."""
+    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
+    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
+    while a.ndim < x0.ndim:
+        a = a[..., None]
+    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
+        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
+    return out.astype(x0.dtype)
 
 
 def init_state(sched: PNDMSchedule, shape, dtype) -> PNDMState:

@@ -27,8 +27,8 @@ import numpy as np
 from powerpaint_tpu.schedulers.common import (
     DiffusionSchedule,
     alphas_cumprod,
+    kept_timesteps,
     make_schedule,
-    spaced_timesteps,
 )
 
 
@@ -88,12 +88,15 @@ def _phi_terms(hh: float, solver_type: str):
     return h_phi_1, b1, b2, B_h
 
 
-def make_unipc_schedule(cfg, num_steps: int) -> UniPCSchedule:
-    """Precompute all per-step coefficients on host (float64)."""
-    base = make_schedule(cfg, num_steps)
+def make_unipc_schedule(cfg, num_steps: int, keep_steps=None) -> UniPCSchedule:
+    """Precompute all per-step coefficients on host (float64).
+    ``keep_steps`` truncates to the last steps for strength<1, with the
+    multistep warmup (order ramp) re-primed at the truncated start — the
+    same behavior diffusers gets from its from-zero lower_order_nums."""
+    base = make_schedule(cfg, num_steps, keep_steps)
     acp = alphas_cumprod(cfg)
-    ts = spaced_timesteps(cfg, num_steps)
-    S = num_steps
+    ts = kept_timesteps(cfg, num_steps, keep_steps)
+    S = len(ts)
     order = min(cfg.solver_order, 2)
     solver_type = cfg.solver_type
 
@@ -184,6 +187,14 @@ def make_unipc_schedule(cfg, num_steps: int) -> UniPCSchedule:
         use_corrector=jnp.asarray(use_c, jnp.float32),
     )
     return UniPCSchedule(base=base, coeffs=coeffs)
+
+
+def add_noise_at(sched: UniPCSchedule, x0, noise, i):
+    """q(x_t|x0) at step index i (VP space)."""
+    from powerpaint_tpu.schedulers.common import add_noise
+
+    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
+    return add_noise(sched.base, x0, noise, t)
 
 
 def init_state(sched: UniPCSchedule, shape, dtype) -> UniPCState:

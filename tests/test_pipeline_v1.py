@@ -65,11 +65,41 @@ def test_object_removal_task(pipe, inputs):
     assert out.shape == (1, 64, 64, 3)
 
 
-def test_strength_truncates(pipe, inputs):
+@pytest.mark.parametrize("sampler", ["ddim", "pndm", "unipc", "dpm", "euler"])
+def test_strength_truncates(pipe, inputs, sampler):
+    """strength<1 works with EVERY sampler (reference supports any Karras
+    scheduler with strength, pipeline_PowerPaint.py:713-720)."""
     image, mask = inputs
     out = pipe(image, mask, prompt="y", strength=0.5,
-               num_inference_steps=4, seed=0)
+               num_inference_steps=4, seed=0, scheduler=sampler)
     assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
+    # strength<1 must differ from the full-schedule run (truncated + renoised)
+    full = pipe(image, mask, prompt="y", strength=1.0,
+                num_inference_steps=4, seed=0, scheduler=sampler)
+    assert not np.array_equal(out, full)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "pndm", "unipc", "dpm", "euler"])
+def test_known_region_blending_4ch(sampler):
+    """4-channel UNets blend the known region every step with ANY sampler
+    (reference pipeline_PowerPaint.py:1025-1035)."""
+    from powerpaint_tpu.testing import tiny_unet, tiny_v1_config
+
+    cfg = tiny_v1_config().replace(unet=tiny_unet(4))
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    p = InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = p(img, mask, prompt="x", num_inference_steps=3, seed=0,
+            scheduler=sampler)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
 
 
 def test_outpainting_canvas(pipe):
