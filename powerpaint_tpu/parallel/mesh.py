@@ -74,8 +74,9 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
+        # dict keys have .key, tuple/list entries have .idx (int)
         return "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) for k in kp
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
         )
 
     specs = {path_str(kp): param_spec(path_str(kp)) for kp, _ in flat}

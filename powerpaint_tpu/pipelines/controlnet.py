@@ -3,42 +3,81 @@
 TPU-native counterpart of the reference
 ``StableDiffusionControlNetInpaintPipeline``
 (/root/reference/powerpaint/pipelines/pipeline_PowerPaint_ControlNet.py:225-1771):
-per step one ControlNet forward (noisy 4-ch latent + control image) producing
-12 down + 1 mid residuals added onto the base UNet's skip connections, plus
-the v1 9-channel inpaint concat (:1686-1715).  Control image is [0,1]
-(no normalization, :1564), CFG-doubled.  The no-control path is just
-``pipelines.inpaint`` (reference ``predict_woControl``).
+per step one ControlNet forward per branch (noisy 4-ch latent + control
+image) producing 12 down + 1 mid residuals added onto the base UNet's skip
+connections, plus the v1 9-channel inpaint concat (:1686-1715).  Control
+images are [0,1] (no normalization, :1564), CFG-doubled.  The no-control
+path is just ``pipelines.inpaint`` (reference ``predict_woControl``).
+
+Multi-ControlNet (reference :281-306, diffusers MultiControlNetModel):
+``params["controlnet"]`` may be a tuple of N param trees; each branch gets
+its own control image and per-step conditioning scale and the residuals are
+summed.  First-class surface parity with the v1 pipeline:
+num_images_per_prompt, strength, eta, any sampler, mesh sharding.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from powerpaint_tpu import schedulers as sched_registry
 from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim
-from powerpaint_tpu.schedulers.common import make_schedule
 from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 from powerpaint_tpu.text.prompts import add_task
 
 
 @dataclasses.dataclass
 class ControlNetPipeline(InpaintPipeline):
-    """Extends the v1 pipeline with a ControlNet branch."""
+    """Extends the v1 pipeline with one or more ControlNet branches."""
 
     def __post_init__(self):
+        # normalize the controlnet entry to a tuple of branch trees BEFORE
+        # the parent shards params across the mesh
+        cn = self.params.get("controlnet")
+        if cn is not None and isinstance(cn, dict):
+            self.params = dict(self.params, controlnet=(cn,))
         super().__post_init__()
         assert self.config.controlnet is not None
         self.controlnet = ControlNetModel(
             self.config.controlnet, dtype=self.dtype
         )
-        self._generate_cn = jax.jit(
-            self._generate_cn_fn,
-            static_argnames=("num_steps", "out_uint8", "guess_mode")
-        )
+        statics = ("num_steps", "strength_steps", "out_uint8", "eta",
+                   "sampler", "guess_mode")
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from powerpaint_tpu.parallel.mesh import (
+                DATA_AXIS,
+                param_shardings,
+            )
+
+            p_shard = {
+                k: param_shardings(self.mesh, v)
+                for k, v in self.params.items()
+            }
+            batch = NamedSharding(self.mesh, P(DATA_AXIS))
+            nbatch = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            repl = NamedSharding(self.mesh, P())
+            # args: params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
+            #       control_u8 (N,B,...), guidance, cond_scale_table (S,N),
+            #       rng, latents
+            self._generate_cn = jax.jit(
+                self._generate_cn_fn, static_argnames=statics,
+                in_shardings=(p_shard, repl, repl, repl, batch, batch,
+                              nbatch, repl, repl, repl, None),
+                out_shardings=batch,
+            )
+        else:
+            self._generate_cn = jax.jit(
+                self._generate_cn_fn, static_argnames=statics
+            )
 
     def _generate_cn_fn(
         self,
@@ -48,21 +87,29 @@ class ControlNetPipeline(InpaintPipeline):
         tradoff_nag: jnp.ndarray,
         image_u8: jnp.ndarray,  # (B, H, W, 3) uint8
         mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8, 255 = hole
-        control_u8: jnp.ndarray,  # (B, H, W, 3) uint8 control map
+        control_u8: jnp.ndarray,  # (N, B, H, W, 3) uint8, one per branch
         guidance_scale: jnp.ndarray,
-        cond_scale_table: jnp.ndarray,  # (S,)
+        cond_scale_table: jnp.ndarray,  # (S, N) per-step per-branch scale
         rng: jax.Array,
+        latents_in: Optional[jnp.ndarray],
         num_steps: int,
+        strength_steps: int,
         out_uint8: bool = True,
+        eta: float = 0.0,
+        sampler: str = "ddim",
         guess_mode: bool = False,
     ):
         init_image = image_u8.astype(jnp.float32) / 127.5 - 1.0
         mask = (mask_u8 >= 128).astype(jnp.float32)
         masked_image = init_image * (1.0 - mask)
-        control_image = control_u8.astype(jnp.float32) / 255.0
-        sched = make_schedule(self.config.scheduler, num_steps)
+        control = control_u8.astype(jnp.float32) / 255.0
+        mod, make = sched_registry.get(sampler)
+        keep = strength_steps if strength_steps < num_steps else None
+        sched = make(self.config.scheduler, num_steps, keep_steps=keep)
         b, h, w, _ = init_image.shape
         h8, w8 = h // 8, w // 8
+        branches = params["controlnet"]
+        n_branches = len(branches)
 
         embeds = self._encode_text(params["text_encoder"], ids)
         eA, eB, nA, nB = jnp.split(embeds, 4, axis=0)
@@ -72,55 +119,78 @@ class ControlNetPipeline(InpaintPipeline):
             [jnp.repeat(neg, b, 0), jnp.repeat(pos, b, 0)], axis=0
         )
 
-        rng_noise, rng_vae = jax.random.split(rng)
+        rng_noise, rng_vae, rng_img, rng_eta = jax.random.split(rng, 4)
         masked_lat = self.vae.apply(
             {"params": params["vae"]}, masked_image, rng_vae, method="sample"
         ).astype(jnp.float32)
         mask_lat = jax.image.resize(mask, (b, h8, w8, 1), method="nearest")
         mask_lat2 = jnp.concatenate([mask_lat, mask_lat], axis=0)
         masked_lat2 = jnp.concatenate([masked_lat, masked_lat], axis=0)
-        control2 = jnp.concatenate([control_image, control_image], axis=0)
+        control2 = jnp.concatenate([control, control], axis=1)  # (N, 2B, ...)
 
-        latents = jax.random.normal(
-            rng_noise, (b, h8, w8, 4), jnp.float32
-        ) * sched.init_noise_sigma
+        noise = jax.random.normal(rng_noise, (b, h8, w8, 4), jnp.float32)
+        if latents_in is not None:
+            latents = latents_in * sched.init_noise_sigma
+        elif strength_steps < num_steps:
+            image_latents = self.vae.apply(
+                {"params": params["vae"]}, init_image, rng_img, method="sample"
+            ).astype(jnp.float32)
+            latents = mod.add_noise_at(sched, image_latents, noise, 0)
+        else:
+            latents = noise * sched.init_noise_sigma
 
         def body(carry, i):
             latents, state = carry
             lmi4 = jnp.concatenate([latents, latents], axis=0)
-            lmi4 = ddim.scale_model_input(sched, lmi4, i)
+            lmi4 = mod.scale_model_input(sched, lmi4, i)
             t = sched.timesteps[i]
-            if guess_mode:
-                # ControlNet on the conditional half only, zero residuals for
-                # the uncond half (reference :1669-1701)
-                down, mid = self.controlnet.apply(
-                    {"params": params["controlnet"]},
-                    ddim.scale_model_input(sched, latents, i), t,
-                    cond[b:], control_image,
-                    conditioning_scale=cond_scale_table[i], guess_mode=True,
-                )
-                pad = lambda x: jnp.concatenate(
-                    [jnp.zeros_like(x), x], axis=0
-                )
-                down = tuple(pad(x) for x in down)
-                mid = pad(mid)
-            else:
-                down, mid = self.controlnet.apply(
-                    {"params": params["controlnet"]}, lmi4, t, cond, control2,
-                    conditioning_scale=cond_scale_table[i],
-                )
+            down_sum, mid_sum = None, None
+            for n in range(n_branches):
+                if guess_mode:
+                    # ControlNet on the conditional half only, zero residuals
+                    # for the uncond half (reference :1669-1701)
+                    down, mid = self.controlnet.apply(
+                        {"params": branches[n]},
+                        mod.scale_model_input(sched, latents, i), t,
+                        cond[b:], control[n],
+                        conditioning_scale=cond_scale_table[i, n],
+                        guess_mode=True,
+                    )
+                    pad = lambda x: jnp.concatenate(  # noqa: E731
+                        [jnp.zeros_like(x), x], axis=0
+                    )
+                    down = tuple(pad(x) for x in down)
+                    mid = pad(mid)
+                else:
+                    down, mid = self.controlnet.apply(
+                        {"params": branches[n]}, lmi4, t, cond, control2[n],
+                        conditioning_scale=cond_scale_table[i, n],
+                    )
+                if down_sum is None:
+                    down_sum, mid_sum = list(down), mid
+                else:  # Multi-ControlNet: sum residuals (reference :1686-1694)
+                    down_sum = [a + c for a, c in zip(down_sum, down)]
+                    mid_sum = mid_sum + mid
             lmi9 = jnp.concatenate([lmi4, mask_lat2, masked_lat2], axis=-1)
             eps = self.unet.apply(
                 {"params": params["unet"]}, lmi9, t, cond,
-                down_block_additional_residuals=down,
-                mid_block_additional_residual=mid,
+                down_block_additional_residuals=tuple(down_sum),
+                mid_block_additional_residual=mid_sum,
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
-            latents, state = ddim.step(sched, state, eps, i, latents)
+            if mod is ddim and eta > 0.0:
+                step_noise = jax.random.normal(
+                    jax.random.fold_in(rng_eta, i), latents.shape, jnp.float32
+                )
+                latents, state = ddim.step(
+                    sched, state, eps, i, latents, eta=eta, noise=step_noise
+                )
+            else:
+                latents, state = mod.step(sched, state, eps, i, latents)
             return (latents, state), None
 
-        state = ddim.init_state(sched, latents.shape, latents.dtype)
+        state = mod.init_state(sched, latents.shape, latents.dtype)
         (latents, _), _ = jax.lax.scan(
             body, (latents, state), jnp.arange(sched.num_steps)
         )
@@ -138,18 +208,23 @@ class ControlNetPipeline(InpaintPipeline):
         self,
         image,
         mask,
-        control_image=None,
+        control_image=None,  # one image or a list (one per branch)
         prompt: str = "",
         negative_prompt: str = "",
         task: str = "text-guided",
         fitting_degree: float = 1.0,
         num_inference_steps: int = 45,
         guidance_scale: float = 7.5,
-        controlnet_conditioning_scale: float = 1.0,
-        control_guidance_start: float = 0.0,
-        control_guidance_end: float = 1.0,
+        controlnet_conditioning_scale=1.0,  # float or per-branch list
+        control_guidance_start=0.0,  # float or per-branch list
+        control_guidance_end=1.0,  # float or per-branch list
+        strength: float = 1.0,
+        eta: float = 0.0,
+        scheduler: str = "ddim",
         seed: int = 0,
+        num_images_per_prompt: int = 1,
         guess_mode: bool = False,
+        latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
         **kwargs,
     ):
@@ -159,8 +234,10 @@ class ControlNetPipeline(InpaintPipeline):
                 image, mask, prompt=prompt, negative_prompt=negative_prompt,
                 task=task, fitting_degree=fitting_degree,
                 num_inference_steps=num_inference_steps,
-                guidance_scale=guidance_scale, seed=seed,
-                output_type=output_type, **kwargs,
+                guidance_scale=guidance_scale, strength=strength, eta=eta,
+                scheduler=scheduler, seed=seed,
+                num_images_per_prompt=num_images_per_prompt,
+                latents=latents, output_type=output_type, **kwargs,
             )
 
         from powerpaint_tpu.core.validation import (
@@ -172,30 +249,73 @@ class ControlNetPipeline(InpaintPipeline):
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
         check_image_mask(img, msk)
+
+        controls = (
+            list(control_image)
+            if isinstance(control_image, (list, tuple))
+            else [control_image]
+        )
+        n_branches = len(self.params["controlnet"])
+        if len(controls) != n_branches:
+            from powerpaint_tpu.core.validation import InputValidationError
+
+            raise InputValidationError(
+                f"got {len(controls)} control images for {n_branches} "
+                "controlnet branches"
+            )
+
+        def per_branch(v, name):
+            vs = list(v) if isinstance(v, (list, tuple)) else [v] * n_branches
+            if len(vs) != n_branches:
+                from powerpaint_tpu.core.validation import InputValidationError
+
+                raise InputValidationError(
+                    f"{name} must be a scalar or a length-{n_branches} list"
+                )
+            return vs
+
+        scales = per_branch(controlnet_conditioning_scale,
+                            "controlnet_conditioning_scale")
+        starts = per_branch(control_guidance_start, "control_guidance_start")
+        ends = per_branch(control_guidance_end, "control_guidance_end")
+
         check_call_args(
             task=task, num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, fitting_degree=fitting_degree,
-            control_guidance_start=control_guidance_start,
-            control_guidance_end=control_guidance_end,
+            strength=strength,
+            control_guidance_start=min(starts),
+            control_guidance_end=max(ends),
         )
-        ctrl_u8 = to_numpy_image(control_image)
-        check_control_image(ctrl_u8, img)
+        ctrl_list = []
+        for c in controls:
+            c_u8 = to_numpy_image(c)
+            check_control_image(c_u8, img)
+            ctrl_list.append(c_u8)
+        ctrl = np.stack(ctrl_list)  # (N, H, W, 3)
+        ctrl_b = np.tile(ctrl[:, None], (1, num_images_per_prompt, 1, 1, 1))
+
+        img_b = np.tile(img[None], (num_images_per_prompt, 1, 1, 1))
         mask_u8 = ((msk >= 0.5).astype(np.uint8) * 255)[None, ..., None]
+        mask_b = np.tile(mask_u8, (num_images_per_prompt, 1, 1, 1))
 
         # reference passes promptA/B swapped with tradoff=1.0 for controlnet
         # (app.py:439-440); both are identical strings so behavior matches
         p = add_task(prompt, negative_prompt, task, "ppt-v1")
         ids = self.encode_task(p)
 
+        # per-step per-branch gating table over the EXECUTED (possibly
+        # strength-truncated) steps — the reference builds keeps over the
+        # post-truncation timestep list (:1370-1376 analog)
         S = num_inference_steps
+        strength_steps = min(int(S * strength), S)
+        S_exec = strength_steps
         keeps = np.array(
             [
-                1.0
-                - float(
-                    i / S < control_guidance_start
-                    or (i + 1) / S > control_guidance_end
-                )
-                for i in range(S)
+                [
+                    (1.0 - float(i / S_exec < s or (i + 1) / S_exec > e)) * sc
+                    for s, e, sc in zip(starts, ends, scales)
+                ]
+                for i in range(S_exec)
             ],
             np.float32,
         )
@@ -204,14 +324,18 @@ class ControlNetPipeline(InpaintPipeline):
             jnp.asarray(ids),
             jnp.float32(fitting_degree),
             jnp.float32(fitting_degree),
-            jnp.asarray(img[None]),
-            jnp.asarray(mask_u8),
-            jnp.asarray(ctrl_u8[None]),
+            jnp.asarray(img_b),
+            jnp.asarray(mask_b),
+            jnp.asarray(ctrl_b),
             jnp.float32(guidance_scale),
-            jnp.asarray(keeps * controlnet_conditioning_scale),
+            jnp.asarray(keeps),
             jax.random.PRNGKey(seed),
+            None if latents is None else jnp.asarray(latents),
             num_steps=num_inference_steps,
+            strength_steps=strength_steps,
             out_uint8=output_type == "uint8",
+            eta=float(eta),
+            sampler=scheduler,
             guess_mode=guess_mode,
         )
         return np.asarray(out)
