@@ -1,0 +1,210 @@
+"""Extract (original, mask, reference result) from the reference's golden
+asset screenshots (/root/reference/assets, README.md:99-154).
+
+The assets are gradio UI screenshots: the *input* asset shows the photo with
+the USER-DRAWN mask painted over it (opaque dark strokes); the *result*
+asset shows the generated output (for text-guided, a [original | result]
+gallery pair).  Round-1's golden_eval used an invented center-box mask,
+which could never reproduce the reference outputs; this module recovers the
+true masks:
+
+- photo blocks are segmented out of the white UI background by row/column
+  non-white runs;
+- the mask is where the painted input photo differs from the result photo
+  (paint and edit both live exactly inside the user mask; compositing
+  keeps everything outside identical — reference app.py:365-387);
+- content UNDER the paint never reaches the model (pipelines mask it out),
+  so the painted photo serves as the original;
+- outpainting has no painted mask: the screenshot records the expansion
+  ratios (horizontal 1.65, vertical 1.0 for the README example), and the
+  canvas+border mask are rebuilt with tasks.preprocess.outpaint_canvas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+ASSETS = "/root/reference/assets"
+
+# README.md:99-154 example parameters encoded in the screenshots
+OUTPAINT_RATIOS = {"gradio_outpaint": (1.65, 1.0)}
+
+
+def _runs(v: np.ndarray, thr: float = 0.3, min_len: int = 60):
+    out, s = [], None
+    for i, x in enumerate(v):
+        if x > thr and s is None:
+            s = i
+        if x <= thr and s is not None:
+            out.append((s, i))
+            s = None
+    if s is not None:
+        out.append((s, len(v)))
+    return [(a, b) for a, b in out if b - a >= min_len]
+
+
+def photo_blocks(img: np.ndarray, min_len: int = 60) -> List[Tuple[int, ...]]:
+    """(y0, y1, x0, x1) rectangles of non-white content."""
+    nonwhite = img.astype(int).sum(-1) < 700
+    out = []
+    for y0, y1 in _runs(nonwhite.mean(1), min_len=min_len):
+        for x0, x1 in _runs(nonwhite[y0:y1].mean(0), min_len=min_len):
+            out.append((y0, y1, x0, x1))
+    return out
+
+
+def _crop(img, b):
+    y0, y1, x0, x1 = b
+    return img[y0:y1, x0:x1]
+
+
+def _resize(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((hw[1], hw[0]), Image.BICUBIC)
+    )
+
+
+def _box_close(mask: np.ndarray, k: int = 5) -> np.ndarray:
+    """Morphological close via box sums (denoise jpeg speckle)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad = k // 2
+    m = np.pad(mask.astype(np.float32), pad, mode="edge")
+    win = sliding_window_view(m, (k, k)).mean((-2, -1))
+    dil = win > 0.05
+    m2 = np.pad(dil.astype(np.float32), pad, mode="edge")
+    win2 = sliding_window_view(m2, (k, k)).mean((-2, -1))
+    return (win2 > 0.95).astype(np.float32)
+
+
+def _flood(seed_mask: np.ndarray, within: np.ndarray) -> np.ndarray:
+    """Flood-fill ``seed_mask`` through ``within`` via iterated 4-neighbor
+    dilation (numpy rolls; converges in <= H+W iterations)."""
+    cur = seed_mask & within
+    while True:
+        grown = cur.copy()
+        grown[1:] |= cur[:-1]
+        grown[:-1] |= cur[1:]
+        grown[:, 1:] |= cur[:, :-1]
+        grown[:, :-1] |= cur[:, 1:]
+        grown &= within
+        if (grown == cur).all():
+            return cur
+        cur = grown
+
+
+def _largest_blob_filled(mask: np.ndarray) -> np.ndarray:
+    """Keep the largest connected component (drops screenshot UI
+    annotations like the red crop rectangle) and fill interior holes
+    (user-drawn masks are solid blobs)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    m = mask > 0.5
+    if not m.any():
+        return mask.astype(np.float32)
+    # seed at the densest point (box-filtered) — the blob's interior
+    k = 15
+    pad = k // 2
+    dens = sliding_window_view(
+        np.pad(m.astype(np.float32), pad), (k, k)
+    ).mean((-2, -1))
+    seed = np.zeros_like(m)
+    iy, ix = np.unravel_index(np.argmax(dens), dens.shape)
+    seed[iy, ix] = True
+    blob = _flood(seed, m)
+    # fill holes: anything not reachable from the border through ~blob
+    border = np.zeros_like(m)
+    border[0] = border[-1] = True
+    border[:, 0] = border[:, -1] = True
+    outside = _flood(border, ~blob)
+    return (blob | ~outside).astype(np.float32)
+
+
+@dataclasses.dataclass
+class GoldenCase:
+    name: str
+    task: str
+    original: np.ndarray  # (H, W, 3) uint8 model input
+    mask: np.ndarray  # (H, W) float {0,1}, 1 = hole
+    reference: np.ndarray  # (H, W, 3) uint8 recorded reference output
+    clean: Optional[np.ndarray] = None  # true original when recoverable
+
+
+def extract_case(name: str, task: str, assets_dir: str = ASSETS) -> GoldenCase:
+    from PIL import Image
+
+    inp = np.asarray(
+        Image.open(f"{assets_dir}/{name}.jpg").convert("RGB")
+    )
+    res = np.asarray(
+        Image.open(f"{assets_dir}/{name}_result.jpg").convert("RGB")
+    )
+    in_blocks = photo_blocks(inp)
+    in_block = max(in_blocks, key=lambda b: (b[1] - b[0]) * (b[3] - b[2]))
+    painted = _crop(inp, in_block)
+
+    res_blocks = photo_blocks(res, min_len=80)
+
+    if task == "image-outpainting":
+        hr, vr = OUTPAINT_RATIOS.get(name, (1.65, 1.0))
+        result = _crop(res, max(
+            res_blocks, key=lambda b: (b[1] - b[0]) * (b[3] - b[2])
+        ))
+        from powerpaint_tpu.tasks.preprocess import outpaint_canvas
+
+        # the result's center IS the preserved original (composited) — use
+        # it as the photo (the input screenshot's photo carries a
+        # "Start drawing" UI watermark)
+        ch = int(round(result.shape[0] / vr))
+        cw = int(round(result.shape[1] / hr))
+        y0 = (result.shape[0] - ch) // 2
+        x0 = (result.shape[1] - cw) // 2
+        photo = result[y0 : y0 + ch, x0 : x0 + cw]
+        canvas, mask = outpaint_canvas(photo, hr, vr)
+        if canvas.shape[:2] != result.shape[:2]:
+            result = _resize(result, canvas.shape[:2])
+        return GoldenCase(name, task, canvas, mask, result, clean=None)
+
+    clean = None
+    if len(res_blocks) >= 2:
+        # [original | result] gallery pair, sorted by x
+        res_blocks = sorted(res_blocks, key=lambda b: b[2])
+        clean = _crop(res, res_blocks[0])
+        result = _crop(res, res_blocks[-1])
+    else:
+        result = _crop(res, max(
+            res_blocks, key=lambda b: (b[1] - b[0]) * (b[3] - b[2])
+        ))
+
+    hw = result.shape[:2]
+    painted_r = _resize(painted, hw)
+    base = result if clean is None else _resize(clean, hw)
+    diff = np.abs(
+        painted_r.astype(np.float32) - base.astype(np.float32)
+    ).mean(-1)
+    # the README screenshots carry PURE-RED annotation rectangles around UI
+    # elements — they are not user paint (paint is dark); exclude them
+    r, g, b = (painted_r[..., i].astype(np.float32) for i in range(3))
+    annotation = (r > 140) & (g < 110) & (b < 110)
+    cand = (diff > 30.0) & ~annotation
+    if clean is None:
+        # the original itself carries the dark paint; pull near-black
+        # pixels into the candidate set (kept only if connected to the
+        # blob by the largest-component pass below)
+        cand |= painted_r.astype(np.float32).mean(-1) < 45.0
+    mask = _largest_blob_filled(_box_close(cand))
+    original = painted_r if clean is None else _resize(clean, hw)
+    return GoldenCase(name, task, original, mask, result, clean=clean)
+
+
+CASES = [
+    ("text-guided", "gradio_text_objinpaint", "a rabbit", 1.0),
+    ("object-removal", "gradio_objremoval", "", 1.0),
+    ("shape-guided", "shapeguided_s1_rabbit", "a rabbit", 0.55),
+    ("image-outpainting", "gradio_outpaint", "", 1.0),
+]

@@ -1,15 +1,23 @@
 """Golden-asset fidelity evaluation (BASELINE.json: SSIM >= 0.99).
 
-Runs the four tasks on the reference's published input/result asset pairs
-(/root/reference/assets, README.md:99-154) and reports SSIM between our
-output and the reference's recorded result.  Requires converted real
-checkpoints (--checkpoint_dir); without weights this script exits with a
-clear message (the container has no model weights — converters are tested
-synthetically in tests/test_convert.py).
+Runs the four tasks on the reference's published asset pairs
+(/root/reference/assets, README.md:99-154) with the TRUE user-drawn masks
+recovered from the screenshots by ``golden_assets.py`` (round-1 used an
+invented center box, which could never reproduce the reference outputs),
+and reports SSIM between our output and the reference's recorded result.
+Requires converted real checkpoints (--checkpoint_dir); without weights
+this script exits with a clear message (the container has no model weights
+— converters are pinned numerically against torch oracles in
+tests/test_torch_parity.py instead).
 
 Usage:
     python scripts/golden_eval.py --checkpoint_dir checkpoints/ppt-v1 \
-        --version ppt-v1 [--steps 45] [--out golden_report.json]
+        --version ppt-v1 [--steps 45] [--out golden_report.json] \
+        [--dump-activations acts.npz]
+
+--dump-activations additionally records every intermediate activation of
+one UNet forward (flax capture_intermediates) so per-block divergence
+against a reference trace is localizable in one run when weights land.
 """
 
 from __future__ import annotations
@@ -21,19 +29,9 @@ import sys
 
 import numpy as np
 
-ASSETS = "/root/reference/assets"
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# (task, input asset, reference result asset, prompt, fitting)
-CASES = [
-    ("text-guided", "gradio_text_objinpaint.jpg",
-     "gradio_text_objinpaint_result.jpg", "a cute dog sitting", 1.0),
-    ("object-removal", "gradio_objremoval.jpg",
-     "gradio_objremoval_result.jpg", "", 1.0),
-    ("shape-guided", "shapeguided_s1_rabbit.jpg",
-     "shapeguided_s1_rabbit_result.jpg", "a rabbit", 0.55),
-    ("image-outpainting", "gradio_outpaint.jpg",
-     "gradio_outpaint_result.jpg", "", 1.0),
-]
+from golden_assets import CASES, extract_case  # noqa: E402
 
 
 def ssim(a: np.ndarray, b: np.ndarray) -> float:
@@ -51,12 +49,62 @@ def ssim(a: np.ndarray, b: np.ndarray) -> float:
     )
 
 
+def dump_activations(pp, path: str) -> None:
+    """One UNet forward with flax capture_intermediates -> .npz keyed by
+    '/'-joined module paths.  Run the same dump against a reference trace
+    to bisect numeric divergence per block."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = pp.pipeline  # v1 pipeline owns unet/params
+    cfg = pipe.config.unet
+    b, hw = 2, 64
+    sample = jnp.zeros((b, hw, hw, cfg.in_channels), jnp.float32)
+    t = jnp.array([981] * b, jnp.int32)
+    ctx = jnp.zeros((b, 77, cfg.cross_attention_dim), jnp.float32)
+
+    @jax.jit
+    def fwd(params):
+        out, mods = pipe.unet.apply(
+            {"params": params}, sample, t, ctx,
+            capture_intermediates=True, mutable=["intermediates"],
+        )
+        return out, mods["intermediates"]
+
+    out, inter = fwd(pipe.params["unet"])
+    flat = {}
+
+    def add(prefix, v):
+        if isinstance(v, dict):
+            for k, sub in v.items():
+                add(prefix + (k,), sub)
+        elif isinstance(v, (tuple, list)):  # captured call results / pytrees
+            for i, sub in enumerate(v):
+                add(prefix + (str(i),), sub)
+        elif v is not None:
+            flat["/".join(prefix)] = np.asarray(v)
+
+    def rec(tree, prefix):
+        add(prefix, tree)
+
+    rec(inter, ())
+    flat["__output__"] = np.asarray(out)
+    np.savez_compressed(path, **flat)
+    print(f"dumped {len(flat)} activation tensors -> {path}")
+
+
+def crop8(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[: h - h % 8, : w - w % 8]
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--version", default="ppt-v1")
     p.add_argument("--steps", type=int, default=45)
     p.add_argument("--out", default="golden_report.json")
+    p.add_argument("--dump-activations", default=None, metavar="NPZ")
     args = p.parse_args()
 
     if not os.path.isdir(args.checkpoint_dir):
@@ -67,31 +115,34 @@ def main() -> int:
         )
         return 2
 
-    from PIL import Image
-
     from powerpaint_tpu.controller import PowerPaint
 
     pp = PowerPaint.from_checkpoint(args.checkpoint_dir, args.version)
+
+    if args.dump_activations:
+        dump_activations(pp, args.dump_activations)
+
     report = {}
-    for task, inp, ref, prompt, fitting in CASES:
-        img = np.asarray(Image.open(os.path.join(ASSETS, inp)).convert("RGB"))
-        ref_img = np.asarray(
-            Image.open(os.path.join(ASSETS, ref)).convert("RGB")
-        )
-        h, w = img.shape[:2]
-        # center-box mask for tasks without a recorded mask asset
-        mask = np.zeros((h, w), np.float32)
-        mask[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = 1.0
+    for task, name, prompt, fitting in CASES:
+        case = extract_case(name, task)
+        img = crop8(case.original)
+        msk = case.mask[: img.shape[0], : img.shape[1]]
+        ref_img = crop8(case.reference)
         res = pp.infer(
-            img, mask, task=task, prompt=prompt, fitting_degree=fitting,
+            img, msk, task=task, prompt=prompt, fitting_degree=fitting,
             num_inference_steps=args.steps, seed=0,
         )
         out = res.result
         if out.shape != ref_img.shape:
+            from PIL import Image
+
             ref_img = np.asarray(
                 Image.fromarray(ref_img).resize((out.shape[1], out.shape[0]))
             )
-        report[task] = {"ssim": round(ssim(out, ref_img), 4)}
+        report[task] = {
+            "ssim": round(ssim(out, ref_img), 4),
+            "mask_frac": round(float(case.mask.mean()), 4),
+        }
         print(task, report[task])
 
     with open(args.out, "w") as f:
