@@ -256,6 +256,25 @@ class VAEConfig(_ConfigBase):
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
     sample_size: int = 512
+    # AsymmetricAutoencoderKL (reference pipeline_PowerPaint.py:27,
+    # 1045-1051): a larger, mask-conditioned decoder. asymmetric=True
+    # switches decode to the conditional path; the decoder may have its own
+    # channel/layer counts, and condition_layers is the (kernel, stride,
+    # out_ch) spec of the known-region condition tower (inferred from real
+    # checkpoints by io.convert.infer_condition_layers).
+    asymmetric: bool = False
+    up_block_out_channels: Optional[Tuple[int, ...]] = None
+    layers_per_up_block: Optional[int] = None
+    condition_layers: Optional[Tuple[Tuple[int, int, int], ...]] = None
+
+    @property
+    def up_channels(self) -> Tuple[int, ...]:
+        return self.up_block_out_channels or self.block_out_channels
+
+    @property
+    def up_layers(self) -> int:
+        return (self.layers_per_up_block if self.layers_per_up_block
+                is not None else self.layers_per_block)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +321,25 @@ class SchedulerConfig(_ConfigBase):
     solver_type: str = "bh2"
 
 
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig(_ConfigBase):
+    """CLIP ViT image tower.  Defaults = ViT-L/14 (the safety checker's and
+    SD1.5 IP-Adapter tooling's tower); the SD1.5 IP-Adapter image encoder
+    is OpenCLIP ViT-H (hidden 1280, layers 32, heads 16, proj 1024).
+    Attribute names intentionally match CLIPTextConfig so the shared
+    encoder layer (models/clip_text.CLIPEncoderLayer) applies."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 768
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+
+
 # ---------------------------------------------------------------------------
 # Pipeline-level config
 # ---------------------------------------------------------------------------
@@ -320,6 +358,8 @@ class PowerPaintConfig(_ConfigBase):
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     brushnet: Optional[BrushNetConfig] = None
     controlnet: Optional[ControlNetConfig] = None
+    # optional CLIP image tower: IP-Adapter encode_image + safety checker
+    image_encoder: Optional[CLIPVisionConfig] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "PowerPaintConfig":
@@ -331,6 +371,7 @@ class PowerPaintConfig(_ConfigBase):
             ("scheduler", SchedulerConfig),
             ("brushnet", BrushNetConfig),
             ("controlnet", ControlNetConfig),
+            ("image_encoder", CLIPVisionConfig),
         ):
             if isinstance(d.get(k), dict):
                 d[k] = sub.from_dict(d[k])

@@ -182,6 +182,29 @@ def convert_vae(sd: Dict[str, np.ndarray]) -> dict:
     return {"encoder": enc, "decoder": dec}
 
 
+def infer_condition_layers(
+    sd: Dict[str, np.ndarray],
+) -> Tuple[Tuple[int, int, int], ...]:
+    """(kernel, stride, out_ch) spec of an AsymmetricAutoencoderKL's
+    ``decoder.condition_encoder`` inferred from checkpoint tensor shapes:
+    3x3 convs are stride 1, 4x4 convs are stride 2 (the tower's published
+    construction, Asymmetric VQGAN arXiv 2306.04632)."""
+    spec = []
+    i = 0
+    while f"decoder.condition_encoder.layers.{i}.weight" in sd:
+        w = sd[f"decoder.condition_encoder.layers.{i}.weight"]  # OIHW
+        k = int(w.shape[2])
+        spec.append((k, 1 if k == 3 else 2, int(w.shape[0])))
+        i += 1
+    return tuple(spec)
+
+
+def convert_asymmetric_vae(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers AsymmetricAutoencoderKL -> models.vae tree (asymmetric
+    config).  Same layout as convert_vae plus the condition tower."""
+    return convert_vae(sd)
+
+
 TASK_TOKEN_ORDER = ("P_ctxt", "P_shape", "P_obj")
 
 
@@ -215,6 +238,32 @@ def convert_clip_text(
         tree["external_embedding"] = np.concatenate(rows, axis=0)
     # drop the (vocab-extended) rows if the table already includes externals
     return tree
+
+
+def convert_clip_vision(sd: Dict[str, np.ndarray]) -> dict:
+    """transformers CLIPVisionModel(WithProjection) -> models.clip_vision
+    tree.  Scope names mirror the torch module tree, so this is the generic
+    mapping plus flattening the embedding tables."""
+    tree = state_dict_to_tree(
+        {k: v for k, v in sd.items() if not k.endswith("position_ids")}
+    )
+    vm = tree.get("vision_model", tree)
+    emb = vm.get("embeddings", {})
+    if isinstance(emb.get("position_embedding"), dict):
+        emb["position_embedding"] = emb["position_embedding"]["kernel"]
+    return tree
+
+
+def convert_safety_checker(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers StableDiffusionSafetyChecker state dict -> flax tree
+    (vision tower + visual_projection + concept tables).  The torch module
+    nests CLIPVisionModel (itself prefixed vision_model.) under an
+    attribute also named vision_model -> collapse the doubled level."""
+    sd = {
+        k.replace("vision_model.vision_model.", "vision_model."): v
+        for k, v in sd.items()
+    }
+    return convert_clip_vision(sd)
 
 
 # ---------------------------------------------------------------------------

@@ -170,18 +170,101 @@ class Decoder(nn.Module):
         z = z.astype(self.dtype)
         z = conv(cfg.latent_channels, 1, 1, 0, dtype=self.dtype,
                  param_dtype=self.param_dtype, name="post_quant_conv")(z)
-        x = conv(cfg.block_out_channels[-1], 3, 1, 1, dtype=self.dtype,
+        x = conv(cfg.up_channels[-1], 3, 1, 1, dtype=self.dtype,
                  param_dtype=self.param_dtype, name="conv_in")(z)
-        x = MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
+        x = MidBlock(cfg.up_channels[-1], cfg.norm_num_groups,
                      self.dtype, self.param_dtype, name="mid_block")(x)
-        reversed_ch = tuple(reversed(cfg.block_out_channels))
+        reversed_ch = tuple(reversed(cfg.up_channels))
         for i, ch in enumerate(reversed_ch):
             is_final = i == len(reversed_ch) - 1
             x = UpDecoderBlock2D(
-                ch, cfg.layers_per_block + 1, not is_final,
+                ch, cfg.up_layers + 1, not is_final,
                 cfg.norm_num_groups, self.dtype, self.param_dtype,
                 name=f"up_blocks_{i}",
             )(x)
+        x = GroupNorm(cfg.norm_num_groups, 1e-6, self.param_dtype,
+                      name="conv_norm_out")(x, silu=True)
+        x = conv(cfg.out_channels, 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_out")(x)
+        return x
+
+
+class MaskConditionEncoder(nn.Module):
+    """Condition tower of the asymmetric VAE decoder (Asymmetric VQGAN,
+    arXiv 2306.04632; the reference's optional higher-fidelity v1 decode —
+    pipeline_PowerPaint.py:27, 1045-1051).  A small conv pyramid over the
+    masked (known-region) image whose per-resolution features the decoder
+    blends back in.  ``layer_spec`` = ((kernel, stride, out_ch), ...) —
+    derived from the checkpoint by io.convert.infer_condition_layers so the
+    tower matches real AsymmetricAutoencoderKL weights exactly."""
+
+    layer_spec: tuple  # ((kernel, stride, out_ch), ...)
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for i, (k, s, ch) in enumerate(self.layer_spec):
+            # torch Conv2d(..., padding=1) for both the 3x3/s1 and 4x4/s2
+            # layers (even-kernel stride-2 + pad 1 halves even inputs)
+            x = nn.Conv(
+                ch, (k, k), strides=(s, s), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )(x)
+            feats.append(x)  # pre-activation feature is what gets blended
+            x = nn.relu(x)
+        return feats
+
+
+class ConditionalDecoder(nn.Module):
+    """Decoder with known-region feature injection: before each up block
+    (and once at full resolution), where a condition feature matches the
+    sample's (H, W, C), blend ``sample*mask + cond*(1-mask)`` — mask is 1
+    in the HOLE, so known-region content comes from the condition tower."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, image, mask):
+        cfg = self.config
+        z = z.astype(self.dtype)
+        z = conv(cfg.latent_channels, 1, 1, 0, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="post_quant_conv")(z)
+        x = conv(cfg.up_channels[-1], 3, 1, 1, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv_in")(z)
+        x = MidBlock(cfg.up_channels[-1], cfg.norm_num_groups,
+                     self.dtype, self.param_dtype, name="mid_block")(x)
+
+        masked_image = ((1.0 - mask) * image).astype(self.dtype)
+        feats = MaskConditionEncoder(
+            cfg.condition_layers, self.dtype, self.param_dtype,
+            name="condition_encoder",
+        )(masked_image)
+        by_shape = {f.shape[1:]: f for f in feats}
+
+        def blend(sample):
+            key = sample.shape[1:]
+            if key not in by_shape:
+                return sample
+            m = jax.image.resize(
+                mask, mask.shape[:1] + key[:2] + (1,), method="nearest"
+            ).astype(sample.dtype)
+            return sample * m + by_shape[key] * (1.0 - m)
+
+        reversed_ch = tuple(reversed(cfg.up_channels))
+        for i, ch in enumerate(reversed_ch):
+            is_final = i == len(reversed_ch) - 1
+            x = blend(x)
+            x = UpDecoderBlock2D(
+                ch, cfg.up_layers + 1, not is_final,
+                cfg.norm_num_groups, self.dtype, self.param_dtype,
+                name=f"up_blocks_{i}",
+            )(x)
+        x = blend(x)
         x = GroupNorm(cfg.norm_num_groups, 1e-6, self.param_dtype,
                       name="conv_norm_out")(x, silu=True)
         x = conv(cfg.out_channels, 3, 1, 1, dtype=self.dtype,
@@ -198,7 +281,12 @@ class AutoencoderKL(nn.Module):
 
     def setup(self):
         self.encoder = Encoder(self.config, self.dtype, self.param_dtype)
-        self.decoder = Decoder(self.config, self.dtype, self.param_dtype)
+        if self.config.asymmetric:
+            self.decoder = ConditionalDecoder(
+                self.config, self.dtype, self.param_dtype
+            )
+        else:
+            self.decoder = Decoder(self.config, self.dtype, self.param_dtype)
 
     def encode(self, x):
         """Returns (mean, logvar) of the latent distribution (unscaled)."""
@@ -224,10 +312,27 @@ class AutoencoderKL(nn.Module):
     def decode(self, z):
         """Decode latents (callers divide by scaling_factor first, matching
         reference pipeline_PowerPaint.py:1051)."""
+        if self.config.asymmetric:
+            raise ValueError(
+                "asymmetric VAE decode needs (image, mask); call "
+                "decode_with_condition"
+            )
         return self.decoder(z)
+
+    def decode_with_condition(self, z, image, mask):
+        """Asymmetric decode: latents + full [-1,1] image + hole mask(=1)
+        (reference pipeline_PowerPaint.py:1045-1051 condition_kwargs)."""
+        if not self.config.asymmetric:
+            raise ValueError("decode_with_condition needs asymmetric=True")
+        return self.decoder(z, image, mask)
 
     def __call__(self, x, rng):
         z = self.sample(x, rng)
+        if self.config.asymmetric:
+            mask = jnp.ones(x.shape[:3] + (1,), jnp.float32)
+            return self.decode_with_condition(
+                z / self.config.scaling_factor, x, mask
+            )
         return self.decode(z / self.config.scaling_factor)
 
 

@@ -220,11 +220,20 @@ class InpaintPipeline:
             noise=noise, eta=eta, eta_rng=rng_eta,
         )
 
-        image = self.vae.apply(
-            {"params": params["vae"]},
-            (latents / self.config.vae.scaling_factor).astype(self.dtype),
-            method="decode",
-        )
+        z = (latents / self.config.vae.scaling_factor).astype(self.dtype)
+        if self.config.vae.asymmetric:
+            # AsymmetricAutoencoderKL decode-with-condition (reference
+            # pipeline_PowerPaint.py:1045-1051): the decoder sees the
+            # original image + hole mask and reconstructs the known region
+            # from its condition tower
+            image = self.vae.apply(
+                {"params": params["vae"]}, z, init_image, mask,
+                method="decode_with_condition",
+            )
+        else:
+            image = self.vae.apply(
+                {"params": params["vae"]}, z, method="decode"
+            )
         if out_uint8:
             img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(img01 * 255.0).astype(jnp.uint8)
