@@ -49,9 +49,14 @@ def init_params(
         jnp.zeros((1, config.unet.ip_adapter_dim))
         if config.unet.ip_adapter_dim else None
     )
+    t_cond = (
+        jnp.zeros((1, config.unet.time_cond_proj_dim))
+        if config.unet.time_cond_proj_dim else None
+    )
     params = {
         "unet": init_jit(unet.init)(
-            keys[0], sample, t, ctx, image_embeds=ip_embeds
+            keys[0], sample, t, ctx, image_embeds=ip_embeds,
+            timestep_cond=t_cond,
         )["params"],
         "vae": init_jit(vae.init)(
             keys[1], img, jax.random.PRNGKey(0)

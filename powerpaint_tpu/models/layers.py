@@ -108,6 +108,26 @@ def timestep_sinusoid(
     return out
 
 
+def guidance_scale_embedding(
+    w: jax.Array, dim: int
+) -> jax.Array:
+    """LCM guidance-scale embedding (reference
+    pipeline_PowerPaint_Brushnet_CA.py:972-1014 get_guidance_scale_embedding,
+    from the LCM paper): sinusoid features of w*1000 fed to the UNet's
+    ``timestep_cond`` projection when ``time_cond_proj_dim`` is set.  Note
+    the [sin | cos] order (the timestep sinusoid uses [cos | sin])."""
+    w = jnp.atleast_1d(w).astype(jnp.float32) * 1000.0
+    half = dim // 2
+    emb = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    emb = w[:, None] * emb[None, :]
+    out = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
 class TimestepEmbedding(nn.Module):
     """linear -> silu -> linear (diffusers TimestepEmbedding)."""
 

@@ -59,6 +59,20 @@ class BrushNetPipeline:
         self.text_plain = CLIPTextModel(
             cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
         )
+        # optional CLIP image tower for ip_adapter_image (reference
+        # encode_image, pipeline_PowerPaint_Brushnet_CA.py:629-654)
+        self._encode_ip_image = None
+        if cfg.image_encoder is not None and "image_encoder" in self.params:
+            from powerpaint_tpu.models.clip_vision import (
+                CLIPVisionModelWithProjection,
+            )
+
+            enc = CLIPVisionModelWithProjection(
+                cfg.image_encoder, dtype=self.dtype
+            )
+            self._encode_ip_image = jax.jit(
+                lambda p, x: enc.apply({"params": p}, x)
+            )
         statics = ("num_steps", "out_uint8", "guess_mode")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -149,6 +163,19 @@ class BrushNetPipeline:
                 rng_noise, (b, h8, w8, 4), jnp.float32
             ) * sched.init_noise_sigma
 
+        # LCM guidance-scale embedding (reference :1352-1356): when the
+        # UNet has a time_cond_proj_dim, condition every step on w-1
+        timestep_cond = None
+        if self.config.unet.time_cond_proj_dim:
+            from powerpaint_tpu.models.layers import guidance_scale_embedding
+
+            w = jnp.repeat(
+                jnp.atleast_1d(guidance_scale - 1.0), 2 * b, axis=0
+            )
+            timestep_cond = guidance_scale_embedding(
+                w, self.config.unet.time_cond_proj_dim
+            )
+
         def body(carry, i):
             latents, state = carry
             lmi = jnp.concatenate([latents, latents], axis=0)
@@ -181,6 +208,7 @@ class BrushNetPipeline:
                 up_block_add_samples=up,
                 image_embeds=ip_embeds,
                 ip_scale=ip_scale,
+                timestep_cond=timestep_cond,
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
@@ -221,6 +249,7 @@ class BrushNetPipeline:
         num_images_per_prompt: int = 1,
         guess_mode: bool = False,
         latents: Optional[np.ndarray] = None,
+        ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_image_embeds: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 1.0,
         output_type: str = "uint8",
@@ -273,6 +302,43 @@ class BrushNetPipeline:
             np.float32,
         )
         cond_scale_table = keeps * brushnet_conditioning_scale
+
+        if ip_adapter_image is not None:
+            if ip_adapter_image_embeds is not None:
+                from powerpaint_tpu.core.validation import (
+                    InputValidationError,
+                )
+
+                raise InputValidationError(
+                    "provide either ip_adapter_image or "
+                    "ip_adapter_image_embeds, not both"  # reference :853
+                )
+            if self._encode_ip_image is None:
+                from powerpaint_tpu.core.validation import (
+                    InputValidationError,
+                )
+
+                raise InputValidationError(
+                    "ip_adapter_image needs an image encoder: set "
+                    "config.image_encoder and params['image_encoder']"
+                )
+            from powerpaint_tpu.core.safety import _CLIP_MEAN, _CLIP_STD
+            from PIL import Image as _Image
+
+            s = self.config.image_encoder.image_size
+            pix = np.asarray(
+                _Image.fromarray(to_numpy_image(ip_adapter_image)).resize(
+                    (s, s), _Image.BICUBIC
+                ),
+                dtype=np.float32,
+            )
+            pix = (pix / 255.0 - _CLIP_MEAN) / _CLIP_STD
+            ip_adapter_image_embeds = np.asarray(
+                self._encode_ip_image(
+                    self.params["image_encoder"], jnp.asarray(pix[None])
+                ),
+                dtype=np.float32,
+            )
 
         ip_embeds = None
         if ip_adapter_image_embeds is not None:

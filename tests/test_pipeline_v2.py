@@ -75,3 +75,53 @@ def test_v2_guess_mode_runs(pipe, inputs):
     out = pipe(image, mask, prompt="x", num_inference_steps=2, seed=3,
                guess_mode=True)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_lcm_guidance_scale_embedding_formula():
+    """Pins the [sin|cos] order and w*1000 scaling of the reference's
+    get_guidance_scale_embedding (pipeline_PowerPaint_Brushnet_CA.py:972)."""
+    import numpy as np
+
+    from powerpaint_tpu.models.layers import guidance_scale_embedding
+
+    w, dim = 6.5, 8
+    half = dim // 2
+    emb = np.exp(np.arange(half) * (-np.log(10000.0) / (half - 1)))
+    emb = (w * 1000.0) * emb
+    want = np.concatenate([np.sin(emb), np.cos(emb)])
+    got = np.asarray(guidance_scale_embedding(jnp.float32(w), dim))[0]
+    # fp32 sin/cos at |arg| ~ 6500 rad: a few ULP of drift vs float64
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_v2_pipeline_with_time_cond_proj_runs(inputs):
+    """LCM-style UNet (time_cond_proj_dim set): the pipeline feeds the
+    guidance embedding as timestep_cond (reference :1352-1356)."""
+    import numpy as np
+
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.testing import tiny_v2_config
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v2_config()
+    cfg = cfg.replace(unet=cfg.unet.replace(time_cond_proj_dim=8))
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    assert "cond_proj" in params["unet"]["time_embedding"]
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+
+    image, mask = inputs
+    a = pipe(image, mask, prompt="a dog", num_inference_steps=2, seed=3,
+             guidance_scale=5.0)
+    b = pipe(image, mask, prompt="a dog", num_inference_steps=2, seed=3,
+             guidance_scale=9.0)
+    assert a.shape == b.shape
+    # guidance now conditions the UNet itself, beyond the CFG combine
+    assert not np.array_equal(a, b)
