@@ -69,12 +69,14 @@ class InpaintPipeline:
             self.params = jax.device_put(self.params, p_shard)
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
+            # args: params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
+            #       guidance, seeds, latents
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
                                  "eta", "sampler"),
                 in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
-                              repl, None),
+                              batch, None),
                 out_shardings=batch,
             )
         else:
@@ -155,13 +157,13 @@ class InpaintPipeline:
     def _generate_fn(
         self,
         params,
-        ids: jnp.ndarray,  # (4, 77) [A, B, negA, negB]
-        tradoff: jnp.ndarray,
-        tradoff_nag: jnp.ndarray,
+        ids: jnp.ndarray,  # (P, 4, 77) [A, B, negA, negB] per prompt
+        tradoff: jnp.ndarray,  # scalar or (P,)
+        tradoff_nag: jnp.ndarray,  # scalar or (P,)
         image_u8: jnp.ndarray,  # (B, H, W, 3) uint8 — normalized ON DEVICE
         mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8 {0, 255}
-        guidance_scale: jnp.ndarray,
-        rng: jax.Array,
+        guidance_scale: jnp.ndarray,  # scalar or (B,)
+        seeds: jnp.ndarray,  # (B,) int32 — per-image noise seeds
         latents_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
@@ -183,30 +185,61 @@ class InpaintPipeline:
         b, h, w, _ = init_image.shape
         h8, w8 = h // 8, w // 8
 
-        # --- text ---
-        embeds = self._encode_text(params["text_encoder"], ids)
-        eA, eB, nA, nB = jnp.split(embeds, 4, axis=0)
-        pos = eA * tradoff + (1.0 - tradoff) * eB
-        neg = nA * tradoff_nag + (1.0 - tradoff_nag) * nB
-        cond = jnp.concatenate(
-            [jnp.repeat(neg, b, 0), jnp.repeat(pos, b, 0)], axis=0
-        )
+        # --- text (P prompts batched as one 4P-row CLIP forward; P=1 for
+        # single-prompt calls, P=B for micro-batched serving) ---
+        if ids.ndim == 2:
+            ids = ids[None]
+        P = ids.shape[0]
+        embeds = self._encode_text(
+            params["text_encoder"], ids.reshape(P * 4, ids.shape[-1])
+        ).reshape(P, 4, ids.shape[-1], -1)
+        t = jnp.reshape(tradoff, (-1, 1, 1))
+        tn = jnp.reshape(tradoff_nag, (-1, 1, 1))
+        pos = embeds[:, 0] * t + (1.0 - t) * embeds[:, 1]
+        neg = embeds[:, 2] * tn + (1.0 - tn) * embeds[:, 3]
+        if P != b:  # single prompt, many images
+            pos = jnp.repeat(pos, b // P, 0)
+            neg = jnp.repeat(neg, b // P, 0)
+        cond = jnp.concatenate([neg, pos], axis=0)
+        guidance_scale = jnp.reshape(guidance_scale, (-1, 1, 1, 1))
 
-        # --- latents ---
-        rng_noise, rng_vae, rng_img, rng_eta = jax.random.split(rng, 4)
-        masked_lat = self.vae.apply(
-            {"params": params["vae"]}, masked_image, rng_vae, method="sample"
-        ).astype(jnp.float32)
+        # --- per-image rng: each image's noise depends only on ITS seed, so
+        # a micro-batched request reproduces its standalone result ---
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+
+        def img_keys(k):
+            return (jax.random.fold_in(k, 0), jax.random.fold_in(k, 1),
+                    jax.random.fold_in(k, 2))
+
+        k_noise, k_vae, k_img = jax.vmap(img_keys)(keys)
+        rng_eta = jax.random.PRNGKey(0)  # unused unless eta>0
+        if eta > 0.0:
+            rng_eta = jax.random.fold_in(keys[0], 3)
+
+        def vae_sample(images, ks):
+            """Per-image-keyed VAE latent sampling (vs one batch key)."""
+            moments = self.vae.apply(
+                {"params": params["vae"]}, images, method="encode"
+            )
+            mean, logvar = moments
+            std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, mean.shape[1:], jnp.float32)
+            )(ks)
+            z = mean.astype(jnp.float32) + std * noise
+            return z * self.config.vae.scaling_factor
+
+        masked_lat = vae_sample(masked_image, k_vae)
         mask_lat = jax.image.resize(mask, (b, h8, w8, 1), method="nearest")
         mask_lat2 = jnp.concatenate([mask_lat, mask_lat], axis=0)
         masked_lat2 = jnp.concatenate([masked_lat, masked_lat], axis=0)
 
-        noise = jax.random.normal(rng_noise, (b, h8, w8, 4), dtype=jnp.float32)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (h8, w8, 4), jnp.float32)
+        )(k_noise)
         image_latents = None
         if strength_steps < num_steps or self.config.unet.in_channels == 4:
-            image_latents = self.vae.apply(
-                {"params": params["vae"]}, init_image, rng_img, method="sample"
-            ).astype(jnp.float32)
+            image_latents = vae_sample(init_image, k_img)
         if latents_in is not None:
             latents = latents_in * sched.init_noise_sigma
         elif strength_steps < num_steps:
@@ -255,61 +288,110 @@ class InpaintPipeline:
         self,
         image,
         mask,
-        prompt: str = "",
-        negative_prompt: str = "",
+        prompt="",
+        negative_prompt="",
         task: str = "text-guided",
-        fitting_degree: float = 1.0,
+        fitting_degree=1.0,
         num_inference_steps: int = 45,
-        guidance_scale: float = 7.5,
+        guidance_scale=7.5,
         strength: float = 1.0,
         eta: float = 0.0,
         scheduler: str = "ddim",
-        seed: int = 0,
+        seed=0,
         num_images_per_prompt: int = 1,
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
     ):
         """Full inpainting call (reference __call__ surface,
-        pipeline_PowerPaint.py:978-1071 + app.py predict routing)."""
+        pipeline_PowerPaint.py:978-1071 + app.py predict routing).
+
+        Micro-batched serving form: ``image`` (B,H,W,3) / ``mask`` (B,H,W)
+        stacks with ``prompt``/``negative_prompt``/``fitting_degree``/
+        ``guidance_scale``/``seed`` as per-request lists — one jitted
+        generate for B independent requests (serve/batcher.py).  Each
+        image's noise depends only on its own seed, so batched results
+        match standalone runs."""
         from powerpaint_tpu.core.validation import (
             check_call_args,
             check_image_mask,
         )
         from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 
-        img = to_numpy_image(image)
-        msk = to_numpy_mask(mask)
-        check_image_mask(img, msk)
-        check_call_args(
-            task=task, num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, strength=strength,
-            fitting_degree=fitting_degree,
+        multi = isinstance(prompt, (list, tuple))
+        prompts = list(prompt) if multi else [prompt]
+        negatives = (
+            list(negative_prompt)
+            if isinstance(negative_prompt, (list, tuple))
+            else [negative_prompt] * len(prompts)
         )
-        img_b = np.tile(img[None], (num_images_per_prompt, 1, 1, 1))
-        mask_u8 = (msk >= 0.5).astype(np.uint8)[None, ..., None] * 255
-        mask_b = np.tile(mask_u8, (num_images_per_prompt, 1, 1, 1))
+        fittings = (
+            list(fitting_degree)
+            if isinstance(fitting_degree, (list, tuple))
+            else [fitting_degree] * len(prompts)
+        )
+        guidances = (
+            list(guidance_scale)
+            if isinstance(guidance_scale, (list, tuple))
+            else [guidance_scale] * len(prompts)
+        )
 
-        task_prompts = add_task(prompt, negative_prompt, task, "ppt-v1")
-        ids = self.encode_task(task_prompts)
+        img0 = np.asarray(image)
+        if multi and img0.ndim == 4:
+            img_b = np.stack([to_numpy_image(im) for im in image])
+            mask_b = np.stack([
+                ((to_numpy_mask(m) >= 0.5).astype(np.uint8) * 255)[..., None]
+                for m in mask
+            ])
+        else:
+            img = to_numpy_image(image)
+            msk = to_numpy_mask(mask)
+            check_image_mask(img, msk)
+            n = num_images_per_prompt if not multi else len(prompts)
+            img_b = np.tile(img[None], (n, 1, 1, 1))
+            mask_u8 = (msk >= 0.5).astype(np.uint8)[None, ..., None] * 255
+            mask_b = np.tile(mask_u8, (n, 1, 1, 1))
+        b = img_b.shape[0]
+
+        for f, g in zip(fittings, guidances):
+            check_call_args(
+                task=task, num_inference_steps=num_inference_steps,
+                guidance_scale=float(g), strength=strength,
+                fitting_degree=float(f),
+            )
+
+        ids = np.stack([
+            self.encode_task(add_task(p, n, task, "ppt-v1"))
+            for p, n in zip(prompts, negatives)
+        ])  # (P, 4, 77)
+
+        if isinstance(seed, (list, tuple)):
+            seeds = np.asarray(seed, np.int32)
+        else:
+            # one request, N images: per-image seeds derive from the base
+            seeds = np.asarray(seed, np.int64) + np.arange(b, dtype=np.int64)
+            seeds = seeds.astype(np.int32)
+        assert seeds.shape == (b,), (seeds.shape, b)
 
         from powerpaint_tpu.core.metrics import GLOBAL as _telemetry
 
         strength_steps = min(
             int(num_inference_steps * strength), num_inference_steps
         )
-        rng = jax.random.PRNGKey(seed)
         out_uint8 = output_type == "uint8"
         _telemetry.reset_stages()
         with _telemetry.stage("generate"):
             out = self._generate(
                 self.params,
-                jnp.asarray(ids),
-                jnp.float32(fitting_degree),
-                jnp.float32(fitting_degree),
+                jnp.asarray(ids if multi else ids[0]),
+                jnp.asarray(np.asarray(fittings, np.float32)
+                            if multi else np.float32(fittings[0])),
+                jnp.asarray(np.asarray(fittings, np.float32)
+                            if multi else np.float32(fittings[0])),
                 jnp.asarray(img_b),
                 jnp.asarray(mask_b),
-                jnp.float32(guidance_scale),
-                rng,
+                jnp.asarray(np.asarray(guidances, np.float32)
+                            if multi else np.float32(guidances[0])),
+                jnp.asarray(seeds),
                 None if latents is None else jnp.asarray(latents),
                 num_inference_steps,
                 strength_steps,

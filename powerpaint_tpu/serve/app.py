@@ -82,8 +82,37 @@ def _run_request(pipe, payload: dict) -> bytes:
     return buf.getvalue()
 
 
-def make_server(pipe, port: int = 7860) -> ThreadingHTTPServer:
+class _BatchedPipe:
+    """Pipeline adapter that routes single-image calls through a
+    MicroBatcher (serve/batcher.py) so concurrent HTTP requests coalesce
+    into one batched generate."""
+
+    def __init__(self, batcher):
+        self._batcher = batcher
+
+    def __call__(self, image, mask, **kwargs):
+        return self._batcher.submit(image, mask, **kwargs)[None]
+
+
+def make_server(
+    pipe, port: int = 7860, micro_batch: int = 0
+) -> ThreadingHTTPServer:
+    """``micro_batch`` > 1 coalesces concurrent /inpaint requests into one
+    batched generate (v1 pipeline only — it has the multi-request form)."""
     lock = threading.Lock()
+    if micro_batch > 1:
+        from powerpaint_tpu.serve.batcher import MicroBatcher
+
+        batcher = MicroBatcher(pipe, max_batch=micro_batch)
+        batched = _BatchedPipe(batcher)
+
+        def run(payload):
+            # batcher serializes device work itself; no lock
+            return _run_request(batched, payload)
+    else:
+        def run(payload):
+            with lock:  # serialize like the reference's demo.queue()
+                return _run_request(pipe, payload)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -109,8 +138,7 @@ def make_server(pipe, port: int = 7860) -> ThreadingHTTPServer:
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n))
-                with lock:  # serialize like the reference's demo.queue()
-                    png = _run_request(pipe, payload)
+                png = run(payload)
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))
@@ -146,8 +174,13 @@ def launch(args) -> int:
         return _launch_gradio(pipe, args)
     except ImportError:
         pass
-    server = make_server(pipe, args.port)
-    print(f"serving on http://0.0.0.0:{args.port} (POST /inpaint)")
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+    micro = 0 if isinstance(pipe, BrushNetPipeline) else getattr(
+        args, "micro_batch", 0)
+    server = make_server(pipe, args.port, micro_batch=micro)
+    print(f"serving on http://0.0.0.0:{args.port} (POST /inpaint, "
+          f"micro_batch={micro})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -156,52 +189,170 @@ def launch(args) -> int:
 
 
 def _launch_gradio(pipe, args) -> int:
-    """Gradio Blocks UI with the reference's four task tabs (app.py:563-749).
-    Only reached when gradio is installed."""
+    """Gradio Blocks UI mirroring the reference's four task tabs, v1
+    ControlNet sub-UI, outpaint expansion sliders, advanced accordion, and
+    result + mask galleries (reference app.py:563-749).  Only reached when
+    gradio is installed."""
     import gradio as gr
     import numpy as np
 
     from powerpaint_tpu.tasks.postprocess import blend_result, red_overlay
+    from powerpaint_tpu.tasks.preprocess import (
+        crop_to_multiple_of_8,
+        outpaint_canvas,
+        resize_short_side,
+        to_numpy_image,
+        to_numpy_mask,
+    )
 
-    def infer(image, mask, prompt, negative_prompt, task, fitting, steps,
-              scale, seed):
-        out = pipe(image, mask, prompt=prompt,
-                   negative_prompt=negative_prompt, task=task,
-                   fitting_degree=fitting, num_inference_steps=int(steps),
-                   guidance_scale=scale, seed=int(seed))
-        m = np.asarray(mask, np.float32)
-        if m.ndim == 3:
-            m = m.mean(-1)
-        if m.max() > 1:
-            m /= 255.0
-        return [blend_result(out[0], np.asarray(image), m),
-                red_overlay(np.asarray(image), m)]
+    def infer(image, mask, task, prompt, negative_prompt, fitting,
+              h_expand, v_expand, enable_control, control_type,
+              control_scale, control_image, steps, scale, seed):
+        img = to_numpy_image(np.asarray(image))
+        short = 512 if task == "image-outpainting" else 640
+        img = resize_short_side(img, short)
+        if task == "image-outpainting":
+            img, m = outpaint_canvas(img, float(h_expand), float(v_expand))
+        else:
+            m = to_numpy_mask(np.asarray(mask))
+            if m.shape[:2] != img.shape[:2]:
+                from PIL import Image as _I
+
+                m = np.asarray(
+                    _I.fromarray((m * 255).astype(np.uint8)).resize(
+                        (img.shape[1], img.shape[0])
+                    )
+                ).astype(np.float32) / 255.0
+        img = crop_to_multiple_of_8(img)
+        m = m[: img.shape[0], : img.shape[1]]
+
+        kwargs = dict(
+            prompt=prompt, negative_prompt=negative_prompt, task=task,
+            fitting_degree=float(fitting), num_inference_steps=int(steps),
+            guidance_scale=float(scale), seed=int(seed),
+        )
+        if enable_control and control_image is not None and hasattr(
+                pipe, "_generate_cn"):
+            from powerpaint_tpu.tasks.control import get_control_image
+
+            ctrl = get_control_image(control_type, img)
+            kwargs["control_image"] = ctrl
+            kwargs["controlnet_conditioning_scale"] = float(control_scale)
+            del kwargs["fitting_degree"]  # reference passes tradoff=1.0
+        out = pipe(img, m, **kwargs)
+        result = blend_result(out[0], img, m)
+        return [result, out[0]], [red_overlay(img, m),
+                                  (m * 255).astype(np.uint8)]
 
     with gr.Blocks() as demo:
-        gr.Markdown("# PowerPaint-TPU")
+        gr.Markdown(
+            "<div align='center'><font size='6'>PowerPaint-TPU: "
+            "High-Quality Versatile Image Inpainting</font></div>"
+        )
         with gr.Row():
             with gr.Column():
+                gr.Markdown("### Input image and mask")
                 image = gr.Image(label="image")
-                mask = gr.Image(label="mask")
+                mask = gr.Image(label="mask (white = repaint)")
                 task = gr.Radio(
-                    ["text-guided", "shape-guided", "object-removal",
-                     "image-outpainting"], value="text-guided", label="task")
-                prompt = gr.Textbox(label="prompt")
-                negative = gr.Textbox(label="negative prompt")
-                fitting = gr.Slider(0.3, 1.0, value=1.0,
-                                    label="fitting degree")
-                steps = gr.Slider(10, 50, value=45, step=1, label="steps")
-                scale = gr.Slider(0.1, 30.0, value=7.5,
-                                  label="guidance scale")
-                seed = gr.Slider(0, 2147483647, value=0, step=1, label="seed")
+                    ["text-guided", "object-removal", "shape-guided",
+                     "image-outpainting"],
+                    value="text-guided", visible=False, show_label=False,
+                )
+                prompt = gr.Textbox(label="Prompt")
+                negative = gr.Textbox(label="negative_prompt")
+                fitting = gr.Slider(0.0, 1.0, value=1.0, step=0.05,
+                                    label="fitting degree", visible=False)
+                h_expand = gr.Slider(1.0, 4.0, value=1.0, step=0.05,
+                                     label="horizontal expansion ratio",
+                                     visible=False)
+                v_expand = gr.Slider(1.0, 4.0, value=1.0, step=0.05,
+                                     label="vertical expansion ratio",
+                                     visible=False)
+                enable_control = gr.Checkbox(
+                    label="Enable controlnet", visible=False)
+                control_type = gr.Radio(
+                    ["canny", "pose", "depth", "hed"], value="canny",
+                    label="Control type", visible=False)
+                control_scale = gr.Slider(
+                    0.0, 1.0, value=0.5, step=0.05,
+                    label="controlnet conditioning scale", visible=False)
+                control_image = gr.Image(label="control image",
+                                         visible=False)
+
+                with gr.Tab("Text-guided object inpainting") as tab_text:
+                    gr.Checkbox(label="Enable text-guided object inpainting",
+                                value=True, interactive=False)
+                    is_v1 = hasattr(pipe, "_generate_cn")
+                    if is_v1:
+                        gr.Markdown("### Controlnet setting (v1 only)")
+                with gr.Tab("Object removal inpainting") as tab_removal:
+                    gr.Checkbox(
+                        label="Enable object removal inpainting", value=True,
+                        interactive=False,
+                        info="Guidance Scale >= 10 recommended",
+                    )
+                with gr.Tab("Image outpainting") as tab_outpaint:
+                    gr.Checkbox(
+                        label="Enable image outpainting", value=True,
+                        interactive=False,
+                        info="Guidance Scale >= 10 recommended",
+                    )
+                with gr.Tab("Shape-guided object inpainting") as tab_shape:
+                    gr.Checkbox(label="Enable shape-guided object inpainting",
+                                value=True, interactive=False)
+
+                def _sel(name, **vis):
+                    def fn():
+                        return [
+                            name,
+                            gr.update(visible=vis.get("fitting", False)),
+                            gr.update(visible=vis.get("expand", False)),
+                            gr.update(visible=vis.get("expand", False)),
+                            gr.update(visible=vis.get("control", False)),
+                            gr.update(visible=vis.get("control", False)),
+                            gr.update(visible=vis.get("control", False)),
+                            gr.update(visible=vis.get("control", False)),
+                        ]
+                    return fn
+
+                vis_targets = [task, fitting, h_expand, v_expand,
+                               enable_control, control_type, control_scale,
+                               control_image]
+                tab_text.select(
+                    _sel("text-guided",
+                         control=hasattr(pipe, "_generate_cn")),
+                    None, vis_targets)
+                tab_removal.select(_sel("object-removal"), None, vis_targets)
+                tab_outpaint.select(_sel("image-outpainting", expand=True),
+                                    None, vis_targets)
+                tab_shape.select(_sel("shape-guided", fitting=True),
+                                 None, vis_targets)
+
                 btn = gr.Button("Run")
+                with gr.Accordion("Advanced options", open=False):
+                    steps = gr.Slider(1, 50, value=45, step=1, label="Steps")
+                    scale = gr.Slider(
+                        0.1, 30.0, value=7.5, step=0.1,
+                        label="Guidance Scale",
+                        info="For object removal and image outpainting, "
+                             ">= 10 is recommended",
+                    )
+                    seed = gr.Slider(0, 2147483647, value=0, step=1,
+                                     label="Seed", randomize=True)
             with gr.Column():
-                gallery = gr.Gallery(label="results")
+                gr.Markdown("### Inpainting result")
+                results = gr.Gallery(label="Generated images",
+                                     show_label=False, columns=2)
+                gr.Markdown("### Mask")
+                masks_out = gr.Gallery(label="Generated masks",
+                                       show_label=False, columns=2)
         btn.click(
             infer,
-            [image, mask, prompt, negative, task, fitting, steps, scale,
-             seed],
-            [gallery],
+            [image, mask, task, prompt, negative, fitting, h_expand,
+             v_expand, enable_control, control_type, control_scale,
+             control_image, steps, scale, seed],
+            [results, masks_out],
         )
     demo.queue().launch(server_name="0.0.0.0", server_port=args.port,
                         share=args.share)

@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true", help="launch web UI")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--share", action="store_true")
+    p.add_argument("--micro-batch", dest="micro_batch", type=int, default=4,
+                   help="coalesce up to N concurrent HTTP requests into one "
+                        "batched generate (v1; 0/1 disables)")
     # one-shot args (reference Gradio widget parameters, app.py:664-690)
     p.add_argument("--image", help="input image path")
     p.add_argument("--mask", help="mask image path (white = repaint)")
