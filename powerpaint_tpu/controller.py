@@ -72,7 +72,11 @@ class PowerPaint:
         vertical_expansion_ratio: float = 1.0,
         short_side: int = 640,
         blend_blur_radius: float = 4.0,
+        **pipeline_kwargs,
     ) -> InferenceResult:
+        """``pipeline_kwargs`` pass through to the routed pipeline —
+        e.g. scheduler=/strength=/eta= (v1), ip_adapter_image(_embeds)=/
+        ip_adapter_scale=/guess_mode= (v2), per-branch lists (multi-CN)."""
         from powerpaint_tpu.core.metrics import GLOBAL as telemetry
 
         img = to_numpy_image(image)
@@ -109,6 +113,7 @@ class PowerPaint:
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             seed=seed,
+            **pipeline_kwargs,
         )
 
         if control_type is not None:

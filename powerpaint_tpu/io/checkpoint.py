@@ -121,6 +121,16 @@ def load_ppt_v1(
         "text_encoder": C.convert_clip_text(text_sd),
         "vae": C.convert_vae(vae_sd),
     }
+    # AsymmetricAutoencoderKL checkpoints carry a condition tower and a
+    # larger decoder (reference pipeline_PowerPaint.py:27, 1045-1051)
+    cond_spec = C.infer_condition_layers(vae_sd)
+    if cond_spec:
+        config = config.replace(
+            vae=config.vae.replace(
+                asymmetric=True, condition_layers=cond_spec,
+                **C.infer_vae_decoder_config(vae_sd),
+            )
+        )
     config = _sync_text_config(config, params["text_encoder"])
     params = _to_device_tree(params, dtype)
 
@@ -180,6 +190,41 @@ def load_ppt_v2(
     }
     # task tokens live in the BRUSHNET text encoder (reference app.py:181)
     config = _sync_text_config(config, params["text_encoder_brushnet"])
+
+    # optional IP-Adapter weights (diffusers load_ip_adapter analog)
+    ip_path = _find_weights(
+        os.path.join(root, "ip_adapter*.safetensors"),
+        os.path.join(root, "ip_adapter*.bin"),
+        os.path.join(root, "ip-adapter*.safetensors"),
+        os.path.join(root, "ip-adapter*.bin"),
+    )
+    if ip_path:
+        ip_sd = C.load_state_dict(ip_path)
+        dim = None
+        for k, v in ip_sd.items():
+            if k.endswith("image_proj.proj.weight") or k == "proj.weight":
+                dim = int(np.asarray(v).shape[1])
+        if dim is None and "image_proj" in ip_sd:
+            dim = int(np.asarray(ip_sd["image_proj"]["proj.weight"]).shape[1])
+        tokens = config.unet.ip_adapter_tokens
+        config = config.replace(
+            unet=config.unet.replace(ip_adapter_dim=dim or 1024,
+                                     ip_adapter_tokens=tokens)
+        )
+        params["unet"] = C.merge_ip_adapter(
+            params["unet"], C.convert_ip_adapter(ip_sd, config.unet)
+        )
+
+    # optional CLIP image encoder for ip_adapter_image
+    enc_sd = _load_dir_weights(os.path.join(root, "image_encoder"))
+    if enc_sd is None:
+        enc_sd = _load_dir_weights(os.path.join(base, "image_encoder"))
+    if enc_sd is not None:
+        config = config.replace(
+            image_encoder=C.infer_clip_vision_config(enc_sd)
+        )
+        params["image_encoder"] = C.convert_clip_vision(enc_sd)
+
     params = _to_device_tree(params, dtype)
 
     tokenizer = _build_tokenizer(
@@ -187,6 +232,21 @@ def load_ppt_v2(
         config.text_encoder.num_external_tokens,
     )
     return BrushNetPipeline(config, params, tokenizer, dtype=dtype)
+
+
+def load_safety_checker(d: str, *, dtype=None):
+    """Build a registrable CLIPSafetyChecker from a checkpoint dir
+    (diffusers ``safety_checker/`` layout)."""
+    from powerpaint_tpu.core.safety import CLIPSafetyChecker
+
+    sd = _load_dir_weights(d)
+    if sd is None:
+        raise FileNotFoundError(f"no safety-checker weights under {d!r}")
+    cfg = C.infer_clip_vision_config(sd)
+    params = _to_device_tree(
+        C.convert_safety_checker(sd), dtype or jnp.float32
+    )
+    return CLIPSafetyChecker(cfg, params, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

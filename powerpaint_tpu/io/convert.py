@@ -254,6 +254,64 @@ def convert_clip_vision(sd: Dict[str, np.ndarray]) -> dict:
     return tree
 
 
+def infer_clip_vision_config(sd: Dict[str, np.ndarray]):
+    """Build a CLIPVisionConfig from checkpoint tensor shapes (hidden size,
+    depth, patch/image size, projection dim) — works for both ViT-L
+    (safety checker) and ViT-H (IP-Adapter image encoder) towers."""
+    from powerpaint_tpu.core.config import CLIPVisionConfig
+
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return sd[n]
+        raise KeyError(names)
+
+    prefix = (
+        "vision_model.vision_model."
+        if "vision_model.vision_model.embeddings.class_embedding" in sd
+        else "vision_model."
+    )
+    patch_w = get(prefix + "embeddings.patch_embedding.weight")  # (C,3,p,p)
+    hidden = int(patch_w.shape[0])
+    patch = int(patch_w.shape[-1])
+    pos = get(prefix + "embeddings.position_embedding.weight")
+    grid = int(round((pos.shape[0] - 1) ** 0.5))
+    layers = 0
+    while f"{prefix}encoder.layers.{layers}.layer_norm1.weight" in sd:
+        layers += 1
+    fc1 = get(prefix + "encoder.layers.0.mlp.fc1.weight",
+              prefix + "encoder.layers.0.fc1.weight")
+    heads = max(1, hidden // 64)
+    proj = sd.get("visual_projection.weight")
+    proj_dim = int(proj.shape[0]) if proj is not None else hidden
+    return CLIPVisionConfig(
+        hidden_size=hidden, intermediate_size=int(fc1.shape[0]),
+        num_hidden_layers=layers, num_attention_heads=heads,
+        image_size=grid * patch, patch_size=patch, projection_dim=proj_dim,
+    )
+
+
+def infer_vae_decoder_config(sd: Dict[str, np.ndarray]) -> dict:
+    """Decoder channel/layer counts from an (asymmetric) VAE state dict —
+    the asymmetric checkpoints use a LARGER decoder than encoder."""
+    n_blocks = 0
+    while f"decoder.up_blocks.{n_blocks}.resnets.0.conv1.weight" in sd:
+        n_blocks += 1
+    chans = []
+    layers = 0
+    for i in range(n_blocks):
+        w = sd[f"decoder.up_blocks.{i}.resnets.0.conv1.weight"]
+        chans.append(int(w.shape[0]))
+        k = 0
+        while f"decoder.up_blocks.{i}.resnets.{k}.conv1.weight" in sd:
+            k += 1
+        layers = max(layers, k - 1)
+    return {
+        "up_block_out_channels": tuple(reversed(chans)),
+        "layers_per_up_block": layers,
+    }
+
+
 def convert_safety_checker(sd: Dict[str, np.ndarray]) -> dict:
     """diffusers StableDiffusionSafetyChecker state dict -> flax tree
     (vision tower + visual_projection + concept tables).  The torch module

@@ -87,12 +87,12 @@ class BrushNetPipeline:
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
             # args: params, ids_task, ids_plain, tradoff, tradoff_nag,
-            #       image_u8, mask_u8, guidance, cond_scale_table, rng,
+            #       image_u8, mask_u8, guidance, cond_scale_table, seeds,
             #       latents, ip_embeds, ip_scale
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics,
                 in_shardings=(p_shard, repl, repl, repl, repl, batch, batch,
-                              repl, repl, repl, None, None, None),
+                              repl, repl, batch, None, None, None),
                 out_shardings=batch,
             )
         else:
@@ -103,15 +103,15 @@ class BrushNetPipeline:
     def _generate_fn(
         self,
         params,
-        ids_task: jnp.ndarray,  # (4, 77) [A, B, negA, negB]
-        ids_plain: jnp.ndarray,  # (2, 77) [U, negU]
-        tradoff: jnp.ndarray,
-        tradoff_nag: jnp.ndarray,
+        ids_task: jnp.ndarray,  # (P, 4, 77) [A, B, negA, negB] per prompt
+        ids_plain: jnp.ndarray,  # (P, 2, 77) [U, negU] per prompt
+        tradoff: jnp.ndarray,  # scalar or (P,)
+        tradoff_nag: jnp.ndarray,  # scalar or (P,)
         image_u8: jnp.ndarray,  # (B, H, W, 3) uint8 (unmasked pixels)
         mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8, 255 = hole
-        guidance_scale: jnp.ndarray,
+        guidance_scale: jnp.ndarray,  # scalar or (B,)
         cond_scale_table: jnp.ndarray,  # (S,) brushnet scale per step
-        rng: jax.Array,
+        seeds: jnp.ndarray,  # (B,) int32 per-image noise seeds
         latents_in: Optional[jnp.ndarray],
         ip_embeds: Optional[jnp.ndarray],  # (2B, ip_dim) [uncond | cond]
         ip_scale: jnp.ndarray,
@@ -129,29 +129,52 @@ class BrushNetPipeline:
         b, h, w, _ = masked_image.shape  # noqa: E501
         h8, w8 = h // 8, w // 8
 
-        # --- text: task embeds (A/B blend) + plain embeds ---
+        # --- text: task embeds (A/B blend) + plain embeds, P prompts ---
+        if ids_task.ndim == 2:
+            ids_task = ids_task[None]
+        if ids_plain.ndim == 2:
+            ids_plain = ids_plain[None]
+        P = ids_task.shape[0]
         emb_task = self.text_task.apply(
-            {"params": params["text_encoder_brushnet"]}, ids_task
-        )
-        eA, eB, nA, nB = jnp.split(emb_task, 4, axis=0)
-        pos_t = eA * tradoff + (1.0 - tradoff) * eB
-        neg_t = nA * tradoff_nag + (1.0 - tradoff_nag) * nB
-        cond_task = jnp.concatenate(
-            [jnp.repeat(neg_t, b, 0), jnp.repeat(pos_t, b, 0)], axis=0
-        )
+            {"params": params["text_encoder_brushnet"]},
+            ids_task.reshape(P * 4, ids_task.shape[-1]),
+        ).reshape(P, 4, ids_task.shape[-1], -1)
+        t = jnp.reshape(tradoff, (-1, 1, 1))
+        tn = jnp.reshape(tradoff_nag, (-1, 1, 1))
+        pos_t = emb_task[:, 0] * t + (1.0 - t) * emb_task[:, 1]
+        neg_t = emb_task[:, 2] * tn + (1.0 - tn) * emb_task[:, 3]
         emb_plain = self.text_plain.apply(
-            {"params": params["text_encoder"]}, ids_plain
-        )
-        eU, nU = jnp.split(emb_plain, 2, axis=0)
-        cond_plain = jnp.concatenate(
-            [jnp.repeat(nU, b, 0), jnp.repeat(eU, b, 0)], axis=0
-        )
+            {"params": params["text_encoder"]},
+            ids_plain.reshape(P * 2, ids_plain.shape[-1]),
+        ).reshape(P, 2, ids_plain.shape[-1], -1)
+        eU, nU = emb_plain[:, 0], emb_plain[:, 1]
+        if P != b:  # single prompt, many images
+            pos_t = jnp.repeat(pos_t, b // P, 0)
+            neg_t = jnp.repeat(neg_t, b // P, 0)
+            eU = jnp.repeat(eU, b // P, 0)
+            nU = jnp.repeat(nU, b // P, 0)
+        cond_task = jnp.concatenate([neg_t, pos_t], axis=0)
+        cond_plain = jnp.concatenate([nU, eU], axis=0)
+        g_flat = jnp.reshape(guidance_scale, (-1,))
+        guidance_scale = jnp.reshape(g_flat, (-1, 1, 1, 1))
+
+        # --- per-image rng (see pipelines/inpaint.py) ---
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        k_vae = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
 
         # --- conditioning latents (5ch), CFG-doubled ---
-        rng_noise, rng_vae = jax.random.split(rng)
-        cond_lat = self.vae.apply(
-            {"params": params["vae"]}, masked_image, rng_vae, method="sample"
-        ).astype(jnp.float32)
+        moments = self.vae.apply(
+            {"params": params["vae"]}, masked_image, method="encode"
+        )
+        mean, logvar = moments
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        vnoise = jax.vmap(
+            lambda k: jax.random.normal(k, mean.shape[1:], jnp.float32)
+        )(k_vae)
+        cond_lat = (
+            mean.astype(jnp.float32) + std * vnoise
+        ) * self.config.vae.scaling_factor
         mask8 = jax.image.resize(keep_mask, (b, h8, w8, 1), method="nearest")
         cond5 = jnp.concatenate([cond_lat, mask8], axis=-1)
         cond5 = jnp.concatenate([cond5, cond5], axis=0)
@@ -159,9 +182,9 @@ class BrushNetPipeline:
         if latents_in is not None:
             latents = latents_in * sched.init_noise_sigma
         else:
-            latents = jax.random.normal(
-                rng_noise, (b, h8, w8, 4), jnp.float32
-            ) * sched.init_noise_sigma
+            latents = jax.vmap(
+                lambda k: jax.random.normal(k, (h8, w8, 4), jnp.float32)
+            )(k_noise) * sched.init_noise_sigma
 
         # LCM guidance-scale embedding (reference :1352-1356): when the
         # UNet has a time_cond_proj_dim, condition every step on w-1
@@ -169,9 +192,9 @@ class BrushNetPipeline:
         if self.config.unet.time_cond_proj_dim:
             from powerpaint_tpu.models.layers import guidance_scale_embedding
 
-            w = jnp.repeat(
-                jnp.atleast_1d(guidance_scale - 1.0), 2 * b, axis=0
-            )
+            gb = (jnp.repeat(g_flat, b, 0) if g_flat.shape[0] == 1
+                  else g_flat)
+            w = jnp.concatenate([gb, gb], axis=0) - 1.0  # CFG-doubled
             timestep_cond = guidance_scale_embedding(
                 w, self.config.unet.time_cond_proj_dim
             )
@@ -266,27 +289,61 @@ class BrushNetPipeline:
             check_image_mask,
         )
 
-        img = to_numpy_image(image)
-        msk = to_numpy_mask(mask)
-        check_image_mask(img, msk)
-        check_call_args(
-            task=task, num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, fitting_degree=fitting_degree,
-            control_guidance_start=control_guidance_start,
-            control_guidance_end=control_guidance_end,
+        multi = isinstance(prompt, (list, tuple))
+        prompts = list(prompt) if multi else [prompt]
+        negatives = (
+            list(negative_prompt)
+            if isinstance(negative_prompt, (list, tuple))
+            else [negative_prompt] * len(prompts)
         )
+        fittings = (
+            list(fitting_degree)
+            if isinstance(fitting_degree, (list, tuple))
+            else [fitting_degree] * len(prompts)
+        )
+        guidances = (
+            list(guidance_scale)
+            if isinstance(guidance_scale, (list, tuple))
+            else [guidance_scale] * len(prompts)
+        )
+        for f, g in zip(fittings, guidances):
+            check_call_args(
+                task=task, num_inference_steps=num_inference_steps,
+                guidance_scale=float(g), fitting_degree=float(f),
+                control_guidance_start=control_guidance_start,
+                control_guidance_end=control_guidance_end,
+            )
 
         # v2 prompt routing (app.py:309-313 + add_task v2 branch)
-        prompt_v2 = v2_prompt_suffix(prompt, task)
-        p = add_task(prompt_v2, negative_prompt, task, "ppt-v2")
-        ids_task = self.tokenizer(
-            [p.promptA, p.promptB, p.negative_promptA, p.negative_promptB]
-        )
-        ids_plain = self.tokenizer([p.promptU, p.negative_promptU])
+        ids_task_rows, ids_plain_rows = [], []
+        for pr, ng in zip(prompts, negatives):
+            p = add_task(v2_prompt_suffix(pr, task), ng, task, "ppt-v2")
+            ids_task_rows.append(self.tokenizer(
+                [p.promptA, p.promptB, p.negative_promptA,
+                 p.negative_promptB]
+            ))
+            ids_plain_rows.append(
+                self.tokenizer([p.promptU, p.negative_promptU])
+            )
+        ids_task = np.stack(ids_task_rows)  # (P, 4, 77)
+        ids_plain = np.stack(ids_plain_rows)  # (P, 2, 77)
 
-        img_b = np.tile(img[None], (num_images_per_prompt, 1, 1, 1))
-        mask_u8 = ((msk >= 0.5).astype(np.uint8) * 255)[None, ..., None]
-        mask_b = np.tile(mask_u8, (num_images_per_prompt, 1, 1, 1))
+        img0 = np.asarray(image)
+        if multi and img0.ndim == 4:
+            img_b = np.stack([to_numpy_image(im) for im in image])
+            mask_b = np.stack([
+                ((to_numpy_mask(m) >= 0.5).astype(np.uint8) * 255)[..., None]
+                for m in mask
+            ])
+        else:
+            img = to_numpy_image(image)
+            msk = to_numpy_mask(mask)
+            check_image_mask(img, msk)
+            n = num_images_per_prompt if not multi else len(prompts)
+            img_b = np.tile(img[None], (n, 1, 1, 1))
+            mask_u8 = ((msk >= 0.5).astype(np.uint8) * 255)[None, ..., None]
+            mask_b = np.tile(mask_u8, (n, 1, 1, 1))
+        b = img_b.shape[0]
 
         # per-step gating table (reference :1370-1376)
         S = num_inference_steps
@@ -346,24 +403,33 @@ class BrushNetPipeline:
             if e.ndim == 1:
                 e = e[None]
             if e.shape[0] == 1:
-                e = np.tile(e, (num_images_per_prompt, 1))
+                e = np.tile(e, (img_b.shape[0], 1))
             # CFG pair: unconditional half is zeros (reference :650-654)
             ip_embeds = jnp.asarray(
                 np.concatenate([np.zeros_like(e), e], axis=0)
             )
 
-        rng = jax.random.PRNGKey(seed)
+        if isinstance(seed, (list, tuple)):
+            seeds = np.asarray(seed, np.int32)
+        else:
+            seeds = (np.asarray(seed, np.int64)
+                     + np.arange(b, dtype=np.int64)).astype(np.int32)
+        assert seeds.shape == (b,), (seeds.shape, b)
+
         out = self._generate(
             self.params,
-            jnp.asarray(ids_task),
-            jnp.asarray(ids_plain),
-            jnp.float32(fitting_degree),
-            jnp.float32(fitting_degree),
+            jnp.asarray(ids_task if multi else ids_task[0]),
+            jnp.asarray(ids_plain if multi else ids_plain[0]),
+            jnp.asarray(np.asarray(fittings, np.float32)
+                        if multi else np.float32(fittings[0])),
+            jnp.asarray(np.asarray(fittings, np.float32)
+                        if multi else np.float32(fittings[0])),
             jnp.asarray(img_b),
             jnp.asarray(mask_b),
-            jnp.float32(guidance_scale),
+            jnp.asarray(np.asarray(guidances, np.float32)
+                        if multi else np.float32(guidances[0])),
             jnp.asarray(cond_scale_table),
-            rng,
+            jnp.asarray(seeds),
             None if latents is None else jnp.asarray(latents),
             ip_embeds,
             jnp.float32(ip_adapter_scale),

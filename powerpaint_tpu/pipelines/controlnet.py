@@ -331,11 +331,12 @@ class ControlNetPipeline(InpaintPipeline):
             jnp.asarray(keeps),
             jax.random.PRNGKey(seed),
             None if latents is None else jnp.asarray(latents),
-            num_steps=num_inference_steps,
-            strength_steps=strength_steps,
-            out_uint8=output_type == "uint8",
-            eta=float(eta),
-            sampler=scheduler,
-            guess_mode=guess_mode,
+            # statics positionally: pjit rejects kwargs with in_shardings
+            num_inference_steps,
+            strength_steps,
+            output_type == "uint8",
+            float(eta),
+            scheduler,
+            guess_mode,
         )
         return np.asarray(out)

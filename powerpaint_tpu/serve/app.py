@@ -98,7 +98,9 @@ def make_server(
     pipe, port: int = 7860, micro_batch: int = 0
 ) -> ThreadingHTTPServer:
     """``micro_batch`` > 1 coalesces concurrent /inpaint requests into one
-    batched generate (v1 pipeline only — it has the multi-request form)."""
+    batched generate (both v1 and v2 pipelines expose the multi-request
+    form; requests with per-call-only features — eta>0, control images,
+    IP-Adapter inputs — run alone)."""
     lock = threading.Lock()
     if micro_batch > 1:
         from powerpaint_tpu.serve.batcher import MicroBatcher
@@ -174,10 +176,7 @@ def launch(args) -> int:
         return _launch_gradio(pipe, args)
     except ImportError:
         pass
-    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
-
-    micro = 0 if isinstance(pipe, BrushNetPipeline) else getattr(
-        args, "micro_batch", 0)
+    micro = getattr(args, "micro_batch", 0)
     server = make_server(pipe, args.port, micro_batch=micro)
     print(f"serving on http://0.0.0.0:{args.port} (POST /inpaint, "
           f"micro_batch={micro})")

@@ -20,6 +20,18 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 
+# per-request fields become parallel lists in the batched call; everything
+# in SHARED must match for two requests to share a compiled program
+PER_REQUEST = ("prompt", "negative_prompt", "fitting_degree",
+               "guidance_scale", "seed")
+PER_REQUEST_DEFAULTS = {"prompt": "", "negative_prompt": "",
+                        "fitting_degree": 1.0, "guidance_scale": 7.5,
+                        "seed": 0}
+SHARED = ("task", "num_inference_steps", "strength", "scheduler", "eta",
+          "brushnet_conditioning_scale", "control_guidance_start",
+          "control_guidance_end", "guess_mode", "ip_adapter_scale")
+
+
 @dataclasses.dataclass
 class _Pending:
     image: np.ndarray  # (H, W, 3) uint8
@@ -31,15 +43,20 @@ class _Pending:
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
 
+    def batchable(self) -> bool:
+        # eta noise is keyed per call, not per image; IP embeds are per
+        # call too — run those alone
+        k = self.kwargs
+        return (float(k.get("eta", 0.0)) == 0.0
+                and k.get("ip_adapter_image") is None
+                and k.get("ip_adapter_image_embeds") is None
+                and k.get("control_image") is None
+                and k.get("latents") is None)
+
     def group_key(self) -> Tuple:
         k = self.kwargs
-        return (
-            self.image.shape,
-            k.get("task", "text-guided"),
-            int(k.get("num_inference_steps", 45)),
-            float(k.get("strength", 1.0)),
-            k.get("scheduler", "ddim"),
-            float(k.get("eta", 0.0)),
+        return (self.image.shape,) + tuple(
+            (name, k[name]) for name in SHARED if name in k
         )
 
 
@@ -78,11 +95,9 @@ class MicroBatcher:
 
     def _collect(self, first: _Pending) -> List[_Pending]:
         batch = [first]
-        key = first.group_key()
-        batchable = first.kwargs.get("eta", 0.0) == 0.0
-        if not batchable:
+        if not first.batchable():
             return batch
-        deadline = threading.Event()
+        key = first.group_key()
         # wait up to window_s for more compatible work
         import time
 
@@ -98,14 +113,12 @@ class MicroBatcher:
                 break
             if nxt is None:
                 break
-            if (nxt.group_key() == key
-                    and nxt.kwargs.get("eta", 0.0) == 0.0):
+            if nxt.batchable() and nxt.group_key() == key:
                 batch.append(nxt)
             else:
                 leftovers.append(nxt)
         for item in leftovers:  # requeue what we can't batch
             self._q.put(item)
-        del deadline
         return batch
 
     def _worker(self):
@@ -128,24 +141,14 @@ class MicroBatcher:
             r.event.set()
             return
         k0 = batch[0].kwargs
+        call = {name: k0[name] for name in SHARED if name in k0}
+        for name in PER_REQUEST:
+            call[name] = [
+                r.kwargs.get(name, PER_REQUEST_DEFAULTS[name])
+                for r in batch
+            ]
         out = self.pipe(
-            [r.image for r in batch],
-            [r.mask for r in batch],
-            prompt=[r.kwargs.get("prompt", "") for r in batch],
-            negative_prompt=[
-                r.kwargs.get("negative_prompt", "") for r in batch
-            ],
-            task=k0.get("task", "text-guided"),
-            fitting_degree=[
-                float(r.kwargs.get("fitting_degree", 1.0)) for r in batch
-            ],
-            num_inference_steps=int(k0.get("num_inference_steps", 45)),
-            guidance_scale=[
-                float(r.kwargs.get("guidance_scale", 7.5)) for r in batch
-            ],
-            strength=float(k0.get("strength", 1.0)),
-            scheduler=k0.get("scheduler", "ddim"),
-            seed=[int(r.kwargs.get("seed", 0)) for r in batch],
+            [r.image for r in batch], [r.mask for r in batch], **call
         )
         for i, r in enumerate(batch):
             r.result = out[i]

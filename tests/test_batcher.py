@@ -130,3 +130,43 @@ def test_micro_batcher_separates_incompatible_groups(pipe, inputs):
         assert results["b"].shape == (32, 32, 3)
     finally:
         batcher.close()
+
+
+def test_micro_batcher_v2_pipeline(inputs):
+    """v2 (BrushNet) requests batch too, reproducing standalone results."""
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.testing import tiny_v2_config
+
+    cfg = tiny_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+
+    image, mask = inputs
+    reqs = [
+        dict(prompt="a red ball", seed=3, num_inference_steps=2),
+        dict(prompt="a blue cube", seed=9, num_inference_steps=2),
+    ]
+    single = [pipe(image, mask, **r)[0] for r in reqs]
+
+    batcher = MicroBatcher(pipe, max_batch=4, window_ms=200.0)
+    try:
+        results = [None] * 2
+
+        def worker(i):
+            results[i] = batcher.submit(image, mask, **reqs[i])
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        for i in range(2):
+            assert results[i] is not None
+            diff = np.abs(results[i].astype(np.int32)
+                          - single[i].astype(np.int32))
+            assert diff.max() <= 2, (i, diff.max())
+    finally:
+        batcher.close()

@@ -187,3 +187,90 @@ def test_load_ppt_v1_missing_dir_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_ppt_v1(str(tmp_path))
+
+
+def test_load_ppt_v1_asymmetric_vae(tmp_path):
+    """Loader detects AsymmetricAutoencoderKL checkpoints (condition tower
+    keys) and builds the conditional-decoder config automatically."""
+    from safetensors.numpy import save_file
+
+    from tests.test_convert import tree_to_torch_sd
+    from tests.test_asymmetric_vae import asym_cfg
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1
+    from powerpaint_tpu.models.vae import AutoencoderKL
+
+    cfg = tiny_v1_config().replace(vae=asym_cfg())
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+
+    root = tmp_path / "ppt-v1-asym"
+    for sub in ("unet", "text_encoder", "vae"):
+        os.makedirs(root / sub)
+    save_file(tree_to_torch_sd(params["unet"]),
+              str(root / "unet" / "model.safetensors"))
+    vae_sd = tree_to_torch_sd(params["vae"])
+    fixed = {}
+    for k, v in vae_sd.items():
+        k2 = k.replace("encoder.quant_conv.", "quant_conv.")
+        k2 = k2.replace("decoder.post_quant_conv.", "post_quant_conv.")
+        fixed[k2] = v
+    save_file(fixed, str(root / "vae" / "model.safetensors"))
+    clip_sd = tree_to_torch_sd(params["text_encoder"], clip=True)
+    ext = clip_sd.pop("text_model.embeddings.external_embedding.weight")
+    tok_w = clip_sd.pop("text_model.embeddings.token_embedding.weight")
+    clip_sd["text_model.embeddings.token_embedding.wrapped.weight"] = tok_w
+    for i, name in enumerate(("P_ctxt", "P_shape", "P_obj")):
+        clip_sd[
+            f"text_model.embeddings.token_embedding.trainable_embeddings.{name}"
+        ] = ext[i * 10:(i + 1) * 10]
+    save_file(clip_sd, str(root / "text_encoder" / "model.safetensors"))
+
+    loaded = load_ppt_v1(str(root), config=tiny_v1_config(),
+                         dtype=jnp.float32)
+    assert loaded.config.vae.asymmetric
+    assert loaded.config.vae.condition_layers == cfg.vae.condition_layers
+    assert loaded.config.vae.up_channels == cfg.vae.up_channels
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = loaded(img, mask, prompt="t", num_inference_steps=2, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_load_safety_checker(tmp_path):
+    from safetensors.numpy import save_file
+
+    from powerpaint_tpu.core.config import CLIPVisionConfig
+    from powerpaint_tpu.io.checkpoint import load_safety_checker
+    from powerpaint_tpu.models.clip_vision import StableDiffusionSafetyChecker
+
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=32, patch_size=8, projection_dim=16)
+    m = StableDiffusionSafetyChecker(cfg, num_concepts=3, num_special=2,
+                                     dtype=jnp.float32)
+    params = jax.jit(m.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+
+    # write the diffusers torch layout (doubled vision_model prefix)
+    from tests.test_convert import tree_to_torch_sd
+
+    sd = {}
+    for k, v in tree_to_torch_sd(params).items():
+        if k.startswith("vision_model."):
+            k = "vision_model." + k  # the checkpoint's doubled prefix
+        if k.endswith("embeddings.position_embedding"):
+            k += ".weight"  # transformers nn.Embedding naming
+        sd[k] = v
+    d = tmp_path / "safety_checker"
+    os.makedirs(d)
+    save_file(sd, str(d / "model.safetensors"))
+
+    checker = load_safety_checker(str(d))
+    imgs = (np.random.RandomState(0).rand(1, 40, 40, 3) * 255).astype(
+        np.uint8)
+    flags = checker(imgs)
+    assert isinstance(flags[0], bool)
