@@ -72,11 +72,17 @@ class PowerPaint:
         vertical_expansion_ratio: float = 1.0,
         short_side: int = 640,
         blend_blur_radius: float = 4.0,
+        resolution_bucketing: bool = False,
         **pipeline_kwargs,
     ) -> InferenceResult:
         """``pipeline_kwargs`` pass through to the routed pipeline —
         e.g. scheduler=/strength=/eta= (v1), ip_adapter_image(_embeds)=/
-        ip_adapter_scale=/guess_mode= (v2), per-branch lists (multi-CN)."""
+        ip_adapter_scale=/guess_mode= (v2), per-branch lists (multi-CN).
+
+        ``resolution_bucketing`` pads inputs to 64-pixel size buckets
+        (edge pixels marked keep) and crops the result back: every
+        distinct shape compiles a new XLA program (minutes on TPU), so
+        bucketing caps compilations across arbitrary request sizes."""
         from powerpaint_tpu.core.metrics import GLOBAL as telemetry
 
         img = to_numpy_image(image)
@@ -104,6 +110,14 @@ class PowerPaint:
 
         img = crop_to_multiple_of_8(img)
         msk = msk[: img.shape[0], : img.shape[1]]
+
+        orig_hw = None
+        if resolution_bucketing:
+            from powerpaint_tpu.tasks.preprocess import pad_to_bucket
+
+            img, msk, orig_hw = pad_to_bucket(img, msk)
+            if orig_hw == img.shape[:2]:
+                orig_hw = None
 
         kwargs = dict(
             prompt=prompt,
@@ -137,10 +151,18 @@ class PowerPaint:
 
         out, nsfw_flags = apply_safety_checker(out)
         result = blend_result(out[0], img, msk, blur_radius=blend_blur_radius)
+        raw = out[0]
+        overlay = red_overlay(img, msk)
+        if orig_hw is not None:
+            from powerpaint_tpu.tasks.preprocess import crop_from_bucket
+
+            result = crop_from_bucket(result, orig_hw)
+            raw = crop_from_bucket(raw, orig_hw)
+            overlay = crop_from_bucket(overlay, orig_hw)
         return InferenceResult(
             result=result,
-            raw=out[0],
-            mask_overlay=red_overlay(img, msk),
+            raw=raw,
+            mask_overlay=overlay,
             timings_ms=telemetry.last_call_report(),
             nsfw_flags=nsfw_flags,
         )

@@ -66,6 +66,16 @@ def _run_request(pipe, payload: dict) -> bytes:
     image = crop_to_multiple_of_8(image)
     mask = mask[: image.shape[0], : image.shape[1]]
 
+    # pad to 64px size buckets by default: every distinct shape compiles a
+    # new XLA program (minutes); disable with {"bucket": false}
+    orig_hw = None
+    if payload.get("bucket", True):
+        from powerpaint_tpu.tasks.preprocess import pad_to_bucket
+
+        image, mask, orig_hw = pad_to_bucket(image, mask)
+        if orig_hw == image.shape[:2]:
+            orig_hw = None
+
     out = pipe(
         image, mask,
         prompt=payload.get("prompt", ""),
@@ -77,6 +87,10 @@ def _run_request(pipe, payload: dict) -> bytes:
         seed=int(payload.get("seed", 0)),
     )
     final = blend_result(out[0], image, mask)
+    if orig_hw is not None:
+        from powerpaint_tpu.tasks.preprocess import crop_from_bucket
+
+        final = crop_from_bucket(final, orig_hw)
     buf = io.BytesIO()
     Image.fromarray(final).save(buf, format="PNG")
     return buf.getvalue()

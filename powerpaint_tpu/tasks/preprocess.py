@@ -75,6 +75,40 @@ def resize_short_side(
     return img[yi][:, xi]
 
 
+def bucket_size(n: int, multiple: int = 64, max_size: int = 2048) -> int:
+    """Round up to the next size bucket.  Every distinct (H, W) compiles a
+    new XLA executable (~minutes on a remote TPU, SURVEY.md §7 hard part
+    5); bucketing to multiples of 64 pixels caps the number of programs at
+    a few dozen for the whole practical range."""
+    return min(max(((n + multiple - 1) // multiple) * multiple, multiple),
+               max_size)
+
+
+def pad_to_bucket(
+    image: np.ndarray, mask: np.ndarray, multiple: int = 64
+):
+    """Pad (image, mask) to the next size bucket with edge-replicated
+    pixels marked KEEP (mask 0) — generation preserves them and
+    ``crop_from_bucket`` removes them, so results match the unpadded
+    request wherever the model is translation-consistent.
+
+    Returns (image_p, mask_p, (orig_h, orig_w))."""
+    h, w = image.shape[:2]
+    bh, bw = bucket_size(h, multiple), bucket_size(w, multiple)
+    if (bh, bw) == (h, w):
+        return image, mask, (h, w)
+    image_p = np.pad(image, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
+    mask_p = np.pad(mask, ((0, bh - h), (0, bw - w)), mode="constant",
+                    constant_values=0.0)
+    return image_p, mask_p, (h, w)
+
+
+def crop_from_bucket(out: np.ndarray, orig_hw) -> np.ndarray:
+    """Crop a (B, H, W, C) or (H, W, C) result back to the pre-bucket size."""
+    h, w = orig_hw
+    return out[..., :h, :w, :] if out.ndim == 4 else out[:h, :w]
+
+
 def crop_to_multiple_of_8(img: np.ndarray) -> np.ndarray:
     h, w = img.shape[:2]
     return img[: h - h % 8, : w - w % 8]

@@ -76,3 +76,66 @@ def test_metrics_stage_timing():
     assert "a" in rep and rep["a"] >= 0
     assert t.counters["images"] == 2
     assert "stages_ms" in t.to_json()
+
+
+def test_resolution_bucketing_helpers():
+    from powerpaint_tpu.tasks.preprocess import (
+        bucket_size,
+        crop_from_bucket,
+        pad_to_bucket,
+    )
+
+    assert bucket_size(1) == 64
+    assert bucket_size(64) == 64
+    assert bucket_size(65) == 128
+    assert bucket_size(512) == 512
+    assert bucket_size(5000) == 2048  # capped
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(72, 100, 3) * 255).astype(np.uint8)
+    mask = np.zeros((72, 100), np.float32)
+    mask[10:40, 10:40] = 1.0
+    ip, mp, hw = pad_to_bucket(img, mask)
+    assert ip.shape[:2] == (128, 128)
+    assert hw == (72, 100)
+    # padding is marked KEEP (mask 0) and replicates edge pixels
+    assert (mp[:, 100:] == 0).all() and (mp[72:] == 0).all()
+    np.testing.assert_array_equal(ip[:72, 100], ip[:72, 99])
+    np.testing.assert_array_equal(crop_from_bucket(ip, hw), img)
+    batched = crop_from_bucket(ip[None], hw)
+    assert batched.shape == (1, 72, 100, 3)
+
+
+def test_controller_resolution_bucketing():
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.controller import PowerPaint
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+    from powerpaint_tpu.testing import tiny_v1_config
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    pp = PowerPaint(InpaintPipeline(cfg, params, tok, dtype=jnp.float32))
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(40, 72, 3) * 255).astype(np.uint8)
+    mask = np.zeros((40, 72), np.float32)
+    mask[8:32, 8:32] = 1.0
+    res = pp.infer(img, mask, prompt="x", num_inference_steps=2, seed=0,
+                   resolution_bucketing=True)
+    # output crops back to the request size; far-outside pixels preserved
+    assert res.result.shape == (40, 72, 3)
+    assert res.raw.shape[:2] == (40, 72)
+    far = np.ones((40, 72), bool)
+    far[0:40, 0:44] = False  # keep only the region far from the mask blur
+    assert (res.result[far] == img[far]).all()
