@@ -208,3 +208,83 @@ CASES = [
     ("shape-guided", "shapeguided_s1_rabbit", "a rabbit", 0.55),
     ("image-outpainting", "gradio_outpaint", "", 1.0),
 ]
+
+
+def _largest_nonwhite_rect(img: np.ndarray) -> Tuple[int, int, int, int]:
+    """Bounding box of the largest contiguous non-white region (the
+    embedded photo), excluding pure-red UI annotation pixels."""
+    r, g, b = (img[..., i].astype(np.float32) for i in range(3))
+    annotation = (r > 140) & (g < 110) & (b < 110)
+    nonwhite = (img.astype(int).sum(-1) < 700) & ~annotation
+    blob = _largest_blob_filled(nonwhite.astype(np.float32)) > 0.5
+    ys, xs = np.nonzero(blob)
+    return int(ys.min()), int(ys.max()) + 1, int(xs.min()), int(xs.max()) + 1
+
+
+@dataclasses.dataclass
+class GoldenControlCase:
+    control_type: str
+    original: np.ndarray  # (H, W, 3) uint8 (painted input, mask region
+    #                        is masked out by the pipeline anyway)
+    mask: np.ndarray  # (H, W) float {0,1}
+    control_source: np.ndarray  # raw image the preprocessor runs on
+    reference: np.ndarray  # recorded reference output
+    conditioning_scale: float
+
+
+def extract_control_case(
+    control_type: str, assets_dir: str = ASSETS
+) -> GoldenControlCase:
+    """ControlNet golden cases (reference README.md:105-114 figures):
+    ``control_input.jpg`` is the painted input screenshot (prompt
+    'octopus'); ``{type}.jpg`` is the ControlNet settings screenshot whose
+    photo block is the CONTROL SOURCE image (conditioning scale 0.6 in the
+    screenshots); ``{type}_result.jpg`` records the output."""
+    from PIL import Image
+
+    inp = np.asarray(
+        Image.open(f"{assets_dir}/control_input.jpg").convert("RGB")
+    )
+    settings_name = ("pose_control" if control_type == "pose"
+                     else control_type)
+    setts = np.asarray(
+        Image.open(f"{assets_dir}/{settings_name}.jpg").convert("RGB")
+    )
+    res = np.asarray(
+        Image.open(f"{assets_dir}/{control_type}_result.jpg").convert("RGB")
+    )
+
+    painted = _crop(inp, max(
+        photo_blocks(inp),
+        key=lambda b: (b[1] - b[0]) * (b[3] - b[2]),
+    ))
+    # the settings screenshots embed a SMALL photo inside a busy panel —
+    # run-based segmentation misses it; take the bbox of the largest
+    # contiguous non-white blob instead (red UI annotations excluded)
+    control = _crop(setts, _largest_nonwhite_rect(setts))
+    result = _crop(res, max(
+        photo_blocks(res, min_len=80),
+        key=lambda b: (b[1] - b[0]) * (b[3] - b[2]),
+    ))
+
+    hw = result.shape[:2]
+    painted_r = _resize(painted, hw)
+    diff = np.abs(
+        painted_r.astype(np.float32) - result.astype(np.float32)
+    ).mean(-1)
+    r, g, b = (painted_r[..., i].astype(np.float32) for i in range(3))
+    annotation = (r > 140) & (g < 110) & (b < 110)
+    cand = (diff > 30.0) & ~annotation
+    cand |= painted_r.astype(np.float32).mean(-1) < 45.0
+    mask = _largest_blob_filled(_box_close(cand))
+    return GoldenControlCase(
+        control_type=control_type,
+        original=painted_r,
+        mask=mask,
+        control_source=_resize(control, hw),
+        reference=result,
+        conditioning_scale=0.6,
+    )
+
+
+CONTROL_CASES = ["canny", "depth", "hed", "pose"]

@@ -145,6 +145,36 @@ def main() -> int:
         }
         print(task, report[task])
 
+    # ControlNet golden cases (octopus example, README.md:105-114) — run
+    # when the controller has a ControlNet pipeline and the preprocessor
+    # for the control type is registered (canny always is)
+    if getattr(pp, "controlnet_pipeline", None) is not None:
+        from golden_assets import CONTROL_CASES, extract_control_case
+
+        from powerpaint_tpu.tasks.control import get_control_image
+
+        for ct in CONTROL_CASES:
+            case = extract_control_case(ct)
+            try:
+                ctrl = get_control_image(ct, crop8(case.control_source))
+            except NotImplementedError:
+                print(f"controlnet/{ct}: preprocessor not registered, skip")
+                continue
+            img = crop8(case.original)
+            msk = case.mask[: img.shape[0], : img.shape[1]]
+            res = pp.infer(
+                img, msk, task="text-guided", prompt="octopus",
+                control_type=ct, control_image=ctrl,
+                controlnet_conditioning_scale=case.conditioning_scale,
+                num_inference_steps=args.steps, seed=0,
+            )
+            ref_img = crop8(case.reference)
+            report[f"controlnet/{ct}"] = {
+                "ssim": round(ssim(res.result, ref_img), 4),
+                "mask_frac": round(float(case.mask.mean()), 4),
+            }
+            print(f"controlnet/{ct}", report[f"controlnet/{ct}"])
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     worst = min(v["ssim"] for v in report.values())

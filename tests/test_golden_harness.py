@@ -90,3 +90,16 @@ def test_dump_activations_runs_end_to_end(tmp_path):
     for want in ("down_blocks_0", "mid_block", "up_blocks_0", "__call__"):
         assert want in joined, want
     assert all(np.isfinite(data[k]).all() for k in keys[:10])
+
+
+def test_control_case_extraction():
+    """ControlNet golden cases: painted input, control source, result all
+    extract with sane masks; the outside-mask region matches the result."""
+    from golden_assets import CONTROL_CASES, extract_control_case
+
+    for ct in CONTROL_CASES:
+        c = extract_control_case(ct)
+        assert c.original.shape == c.reference.shape, ct
+        assert c.control_source.shape == c.reference.shape, ct
+        assert 0.05 < c.mask.mean() < 0.7, (ct, c.mask.mean())
+        assert c.conditioning_scale == 0.6
