@@ -63,9 +63,14 @@ def main() -> None:
     mask = np.zeros((512, 512), np.float32)
     mask[128:384, 128:384] = 1.0
 
+    extra_kw = {}
+    enc_cache = int(os.environ.get("POWERPAINT_BENCH_ENCODER_CACHE", "0"))
+    if enc_cache > 1 and which == "v1":
+        extra_kw["encoder_cache_interval"] = enc_cache
+
     def run(steps, seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed,
-                    num_inference_steps=steps)
+                    num_inference_steps=steps, **extra_kw)
 
     # warmup / compile (two step counts -> two executables)
     t0 = time.time()
@@ -94,7 +99,7 @@ def main() -> None:
         def run_b(steps, seed=0):
             return pipe(image, mask, prompt="a red sports car", seed=seed,
                         num_inference_steps=steps,
-                        num_images_per_prompt=bsz)
+                        num_images_per_prompt=bsz, **extra_kw)
 
         run_b(20)  # compile
         ts = []

@@ -82,10 +82,22 @@ class UNet2DConditionModel(nn.Module):
         timestep_cond: Optional[jnp.ndarray] = None,
         image_embeds: Optional[jnp.ndarray] = None,  # IP-Adapter (B, ip_dim)
         ip_scale=1.0,
+        emit_encoder_cache: bool = False,
+        encoder_cache: "Optional[tuple]" = None,  # (x_down_out, skips)
     ) -> jnp.ndarray:
+        """``emit_encoder_cache``/``encoder_cache`` implement encoder
+        propagation (Faster Diffusion, arXiv 2312.09608): encoder features
+        (conv_in + down blocks) change little between adjacent denoise
+        steps, so key steps emit them and non-key steps skip the whole
+        encoder, recomputing only mid+up with the current timestep
+        embedding.  Incompatible with BrushNet/ControlNet injection."""
         cfg = self.config
         is_brushnet = down_block_add_samples is not None
         is_controlnet = down_block_additional_residuals is not None
+        if encoder_cache is not None or emit_encoder_cache:
+            assert not (is_brushnet or is_controlnet), (
+                "encoder caching cannot skip injected down features"
+            )
 
         # IP-Adapter: project raw CLIP image embeds to extra context tokens
         # (reference unet_2d_condition.py:1030-1040 'ip_image_proj' +
@@ -116,53 +128,64 @@ class UNet2DConditionModel(nn.Module):
         # 2. conv_in
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
-        x = conv(
-            cfg.block_out_channels[0], cfg.conv_in_kernel, 1,
-            (cfg.conv_in_kernel - 1) // 2, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="conv_in",
-        )(sample)
+        if encoder_cache is not None:
+            # encoder propagation: reuse key-step encoder features
+            x, skips = encoder_cache
+            x = x.astype(self.dtype)
+            skips = [s.astype(self.dtype) for s in skips]
+        else:
+            x = conv(
+                cfg.block_out_channels[0], cfg.conv_in_kernel, 1,
+                (cfg.conv_in_kernel - 1) // 2, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv_in",
+            )(sample)
 
-        # skip recorded BEFORE brushnet conv_in injection
-        # (reference unet_2d_condition.py:1220-1223)
-        skips = [x]
-        if is_brushnet:
-            down_taps = list(down_block_add_samples)
-            x = x + down_taps.pop(0)
-
-        # 3. down
-        down_counts = _down_tap_counts(cfg)
-        for i, block_type in enumerate(cfg.down_block_types):
-            ch = cfg.block_out_channels[i]
-            is_final = i == len(cfg.down_block_types) - 1
-            taps = None
+            # skip recorded BEFORE brushnet conv_in injection
+            # (reference unet_2d_condition.py:1220-1223)
+            skips = [x]
             if is_brushnet:
-                taps = tuple(down_taps[: down_counts[i]])
-                down_taps = down_taps[down_counts[i]:]
-            common = dict(
-                out_channels=ch,
-                num_layers=cfg.layers_per_block,
-                add_downsample=not is_final,
-                resnet_eps=cfg.norm_eps,
-                groups=cfg.norm_num_groups,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-            )
-            if block_type == CROSS_ATTN_DOWN:
-                x, block_skips = CrossAttnDownBlock2D(
-                    num_heads=cfg.num_heads,
-                    transformer_layers=cfg.transformer_layers_per_block,
-                    use_linear_projection=cfg.use_linear_projection,
-                    name=f"down_blocks_{i}",
-                    **common,
-                )(x, temb, encoder_hidden_states, taps, ip_context, ip_scale)
-            else:
-                x, block_skips = DownBlock2D(
-                    name=f"down_blocks_{i}", **common
-                )(x, temb, None, taps)
-            skips.extend(block_skips)
+                down_taps = list(down_block_add_samples)
+                x = x + down_taps.pop(0)
 
-        if is_controlnet:
-            skips = [s + r for s, r in zip(skips, down_block_additional_residuals)]
+            # 3. down
+            down_counts = _down_tap_counts(cfg)
+            for i, block_type in enumerate(cfg.down_block_types):
+                ch = cfg.block_out_channels[i]
+                is_final = i == len(cfg.down_block_types) - 1
+                taps = None
+                if is_brushnet:
+                    taps = tuple(down_taps[: down_counts[i]])
+                    down_taps = down_taps[down_counts[i]:]
+                common = dict(
+                    out_channels=ch,
+                    num_layers=cfg.layers_per_block,
+                    add_downsample=not is_final,
+                    resnet_eps=cfg.norm_eps,
+                    groups=cfg.norm_num_groups,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )
+                if block_type == CROSS_ATTN_DOWN:
+                    x, block_skips = CrossAttnDownBlock2D(
+                        num_heads=cfg.num_heads,
+                        transformer_layers=cfg.transformer_layers_per_block,
+                        use_linear_projection=cfg.use_linear_projection,
+                        name=f"down_blocks_{i}",
+                        **common,
+                    )(x, temb, encoder_hidden_states, taps, ip_context,
+                      ip_scale)
+                else:
+                    x, block_skips = DownBlock2D(
+                        name=f"down_blocks_{i}", **common
+                    )(x, temb, None, taps)
+                skips.extend(block_skips)
+
+            if is_controlnet:
+                skips = [
+                    s + r for s, r in
+                    zip(skips, down_block_additional_residuals)
+                ]
+        cache_out = (x, tuple(skips)) if emit_encoder_cache else None
 
         # 4. mid
         if cfg.mid_block_type == MID_CROSS_ATTN:
@@ -235,4 +258,6 @@ class UNet2DConditionModel(nn.Module):
             (cfg.conv_out_kernel - 1) // 2, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv_out",
         )(x)
+        if emit_encoder_cache:
+            return x, cache_out
         return x

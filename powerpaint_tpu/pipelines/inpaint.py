@@ -74,7 +74,8 @@ class InpaintPipeline:
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta", "sampler"),
+                                 "eta", "sampler",
+                                 "encoder_cache_interval"),
                 in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
                               batch, None),
                 out_shardings=batch,
@@ -83,7 +84,8 @@ class InpaintPipeline:
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta", "sampler"),
+                                 "eta", "sampler",
+                                 "encoder_cache_interval"),
             )
 
     # ------------------------------------------------------------------ jit
@@ -107,21 +109,65 @@ class InpaintPipeline:
         noise: Optional[jnp.ndarray] = None,
         eta: float = 0.0,
         eta_rng: Optional[jax.Array] = None,
+        encoder_cache_interval: int = 1,
     ) -> jnp.ndarray:
         unet_params = params["unet"]
         is_9ch = self.config.unet.in_channels == 9
         b = latents.shape[0]
 
-        def body(carry, i):
-            latents, state = carry
+        def unet_in(latents, i):
             lmi = jnp.concatenate([latents, latents], axis=0)
             lmi = mod.scale_model_input(sched, lmi, i)
             if is_9ch:
                 lmi = jnp.concatenate([lmi, mask_lat, masked_lat], axis=-1)
+            return lmi
+
+        def full_fwd(lmi, t):
+            return self.unet.apply(
+                {"params": unet_params}, lmi, t, cond,
+                emit_encoder_cache=True,
+            )
+
+        caching = encoder_cache_interval > 1
+        cache0 = None
+        if caching:
+            # encoder propagation (Faster Diffusion, arXiv 2312.09608):
+            # zero-init carry; step 0 is always a key step and overwrites it
+            lmi0 = unet_in(latents, jnp.int32(0))
+            shapes = jax.eval_shape(
+                full_fwd,
+                jax.ShapeDtypeStruct(lmi0.shape, lmi0.dtype),
+                jnp.int32(0),
+            )[1]
+            cache0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+        def eps_at(latents, i, cache):
+            lmi = unet_in(latents, i)
             t = sched.timesteps[i]
-            eps = self.unet.apply(
-                {"params": unet_params}, lmi, t, cond
-            ).astype(jnp.float32)
+            if not caching:
+                eps = self.unet.apply(
+                    {"params": unet_params}, lmi, t, cond
+                )
+                return eps, cache
+            key_step = (i % encoder_cache_interval) == 0
+            return jax.lax.cond(
+                key_step,
+                lambda: full_fwd(lmi, t),
+                lambda: (
+                    self.unet.apply(
+                        {"params": unet_params}, lmi, t, cond,
+                        encoder_cache=cache,
+                    ),
+                    cache,
+                ),
+            )
+
+        def body(carry, i):
+            latents, state, cache = carry
+            eps, cache = eps_at(latents, i, cache)
+            eps = eps.astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
             if self.step_callback is not None:
@@ -146,11 +192,11 @@ class InpaintPipeline:
                 )
                 m = known_mask[:b]
                 latents = (1.0 - m) * init_proper + m * latents
-            return (latents, state), None
+            return (latents, state, cache), None
 
         state = mod.init_state(sched, latents.shape, latents.dtype)
-        (latents, _), _ = jax.lax.scan(
-            body, (latents, state), jnp.arange(sched.num_steps)
+        (latents, _, _), _ = jax.lax.scan(
+            body, (latents, state, cache0), jnp.arange(sched.num_steps)
         )
         return latents
 
@@ -170,6 +216,7 @@ class InpaintPipeline:
         out_uint8: bool = True,
         eta: float = 0.0,
         sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
     ):
         # uint8 at the host<->device boundary: 4x less transfer than fp32
         # and the masked image is derived on device instead of shipped
@@ -251,6 +298,7 @@ class InpaintPipeline:
             params, mod, sched, latents, mask_lat2, masked_lat2, cond,
             guidance_scale, image_latents=image_latents, known_mask=mask_lat,
             noise=noise, eta=eta, eta_rng=rng_eta,
+            encoder_cache_interval=encoder_cache_interval,
         )
 
         z = (latents / self.config.vae.scaling_factor).astype(self.dtype)
@@ -301,6 +349,7 @@ class InpaintPipeline:
         num_images_per_prompt: int = 1,
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
+        encoder_cache_interval: int = 1,
     ):
         """Full inpainting call (reference __call__ surface,
         pipeline_PowerPaint.py:978-1071 + app.py predict routing).
@@ -398,6 +447,7 @@ class InpaintPipeline:
                 out_uint8,
                 float(eta),
                 scheduler,
+                int(encoder_cache_interval),
             )
             out = np.asarray(out)
         _telemetry.count("images", out.shape[0])

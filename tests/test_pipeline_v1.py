@@ -162,3 +162,26 @@ def test_scheduler_choice(pipe, inputs):
     # different samplers take different trajectories
     assert not np.array_equal(outs["ddim"], outs["unipc"])
     assert not np.array_equal(outs["ddim"], outs["euler"])
+
+
+def test_encoder_cache_interval(pipe, inputs):
+    """Encoder propagation (Faster Diffusion): interval=1 is exact; N>1
+    runs, is deterministic, differs from exact (approximation), and
+    interval >= steps caches everything after step 0."""
+    image, mask = inputs
+    exact = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2)
+    c2 = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+              encoder_cache_interval=2)
+    c2b = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+               encoder_cache_interval=2)
+    np.testing.assert_array_equal(c2, c2b)
+    assert not np.array_equal(exact, c2)
+    assert np.isfinite(c2.astype(np.float32)).all()
+    call = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+                encoder_cache_interval=4)
+    assert np.isfinite(call.astype(np.float32)).all()
+    # interval=1 goes through the uncached code path and stays bitwise
+    # identical to the default
+    e1 = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+              encoder_cache_interval=1)
+    np.testing.assert_array_equal(exact, e1)
