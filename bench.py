@@ -67,6 +67,8 @@ def main() -> None:
     enc_cache = int(os.environ.get("POWERPAINT_BENCH_ENCODER_CACHE", "0"))
     if enc_cache > 1 and which == "v1":
         extra_kw["encoder_cache_interval"] = enc_cache
+    if enc_cache > 1 and which == "v2":
+        extra_kw["branch_cache_interval"] = enc_cache
 
     def run(steps, seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed,

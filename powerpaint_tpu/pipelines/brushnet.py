@@ -73,7 +73,8 @@ class BrushNetPipeline:
             self._encode_ip_image = jax.jit(
                 lambda p, x: enc.apply({"params": p}, x)
             )
-        statics = ("num_steps", "out_uint8", "guess_mode")
+        statics = ("num_steps", "out_uint8", "guess_mode",
+                   "branch_cache_interval")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -118,6 +119,7 @@ class BrushNetPipeline:
         num_steps: int,
         out_uint8: bool = True,
         guess_mode: bool = False,
+        branch_cache_interval: int = 1,
     ):
         # device-side prep (uint8 boundary): pixel-space pre-mask
         # (app.py:342-345) and keep-mask channel
@@ -199,8 +201,7 @@ class BrushNetPipeline:
                 w, self.config.unet.time_cond_proj_dim
             )
 
-        def body(carry, i):
-            latents, state = carry
+        def branch_taps(latents, i):
             lmi = jnp.concatenate([latents, latents], axis=0)
             lmi = unipc.scale_model_input(sched, lmi, i)
             t = sched.timesteps[i]
@@ -213,7 +214,7 @@ class BrushNetPipeline:
                     cond_task[b:], cond5[:b],
                     conditioning_scale=cond_scale_table[i], guess_mode=True,
                 )
-                pad = lambda x: jnp.concatenate(
+                pad = lambda x: jnp.concatenate(  # noqa: E731
                     [jnp.zeros_like(x), x], axis=0
                 )
                 down = tuple(pad(x) for x in down)
@@ -224,6 +225,39 @@ class BrushNetPipeline:
                     {"params": params["brushnet"]}, lmi, t, cond_task, cond5,
                     conditioning_scale=cond_scale_table[i],
                 )
+            return down, mid, up
+
+        caching = branch_cache_interval > 1
+        cache0 = None
+        if caching:
+            # BrushNet branch propagation (the encoder-propagation argument
+            # of Faster Diffusion applied to the whole conditioning branch:
+            # its 28 taps drift slowly between adjacent steps) — key steps
+            # recompute, others reuse the carried taps
+            shapes = jax.eval_shape(
+                branch_taps,
+                jax.ShapeDtypeStruct(latents.shape, latents.dtype),
+                jnp.int32(0),
+            )
+            cache0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+
+        def body(carry, i):
+            latents, state, cache = carry
+            lmi = jnp.concatenate([latents, latents], axis=0)
+            lmi = unipc.scale_model_input(sched, lmi, i)
+            t = sched.timesteps[i]
+            if caching:
+                key_step = (i % branch_cache_interval) == 0
+                down, mid, up = jax.lax.cond(
+                    key_step,
+                    lambda: branch_taps(latents, i),
+                    lambda: cache,
+                )
+                cache = (down, mid, up)
+            else:
+                down, mid, up = branch_taps(latents, i)
             eps = self.unet.apply(
                 {"params": params["unet"]}, lmi, t, cond_plain,
                 down_block_add_samples=down,
@@ -236,11 +270,11 @@ class BrushNetPipeline:
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
             latents, state = unipc.step(sched, state, eps, i, latents)
-            return (latents, state), None
+            return (latents, state, cache), None
 
         state = unipc.init_state(sched, latents.shape, latents.dtype)
-        (latents, _), _ = jax.lax.scan(
-            body, (latents, state), jnp.arange(sched.num_steps)
+        (latents, _, _), _ = jax.lax.scan(
+            body, (latents, state, cache0), jnp.arange(sched.num_steps)
         )
 
         image = self.vae.apply(
@@ -271,6 +305,7 @@ class BrushNetPipeline:
         seed: int = 0,
         num_images_per_prompt: int = 1,
         guess_mode: bool = False,
+        branch_cache_interval: int = 1,
         latents: Optional[np.ndarray] = None,
         ip_adapter_image: Optional[np.ndarray] = None,
         ip_adapter_image_embeds: Optional[np.ndarray] = None,
@@ -436,5 +471,6 @@ class BrushNetPipeline:
             num_inference_steps,
             output_type == "uint8",
             guess_mode,
+            int(branch_cache_interval),
         )
         return np.asarray(out)

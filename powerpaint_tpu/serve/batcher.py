@@ -29,7 +29,8 @@ PER_REQUEST_DEFAULTS = {"prompt": "", "negative_prompt": "",
                         "seed": 0}
 SHARED = ("task", "num_inference_steps", "strength", "scheduler", "eta",
           "brushnet_conditioning_scale", "control_guidance_start",
-          "control_guidance_end", "guess_mode", "ip_adapter_scale")
+          "control_guidance_end", "guess_mode", "ip_adapter_scale",
+          "encoder_cache_interval", "branch_cache_interval")
 
 
 @dataclasses.dataclass

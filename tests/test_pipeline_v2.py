@@ -125,3 +125,32 @@ def test_v2_pipeline_with_time_cond_proj_runs(inputs):
     assert a.shape == b.shape
     # guidance now conditions the UNet itself, beyond the CFG combine
     assert not np.array_equal(a, b)
+
+
+def test_branch_cache_interval(inputs):
+    """BrushNet branch propagation: interval=1 exact; N>1 deterministic
+    approximation that differs from exact.  Freshly-initialized zero convs
+    emit zero taps (caching would be invisible), so un-zero one tap."""
+    cfg = tiny_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    k = params["brushnet"]["brushnet_mid_block"]["kernel"]
+    params["brushnet"]["brushnet_mid_block"]["kernel"] = (
+        jnp.ones_like(k) * 0.05
+    )
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+    add_task_tokens(tok)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+
+    image, mask = inputs
+    exact = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2)
+    c2 = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+              branch_cache_interval=2)
+    c2b = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+               branch_cache_interval=2)
+    np.testing.assert_array_equal(c2, c2b)
+    assert not np.array_equal(exact, c2)
+    assert np.isfinite(c2.astype(np.float32)).all()
+    e1 = pipe(image, mask, prompt="a dog", num_inference_steps=4, seed=2,
+              branch_cache_interval=1)
+    np.testing.assert_array_equal(exact, e1)
