@@ -20,9 +20,13 @@ import numpy as np
 def main() -> None:
     import jax
 
-    # persistent compilation cache: repeat bench runs skip the ~9min compile
+    # persistent compilation cache: repeat bench runs skip the ~9min compile.
+    # Lives inside the repo (gitignored) because /tmp does not survive round
+    # boundaries — a pre-warmed cache here makes the driver's bench run warm.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ppt_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass

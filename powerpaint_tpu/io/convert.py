@@ -502,3 +502,38 @@ def brushnet_params_from_unet(unet_params: dict, template: dict) -> dict:
         ):
             out[key] = jax.tree.map(lambda x: x, unet_params[key])
     return out
+
+
+# ---------------------------------------------------------------------------
+# annotator checkpoints (HED, OpenPose body)
+# ---------------------------------------------------------------------------
+
+
+def convert_hed(sd: Dict[str, np.ndarray]) -> dict:
+    """``network-bsds500.pth`` (the HED checkpoint the reference's
+    controlnet_aux HEDdetector downloads from lllyasviel/ControlNet,
+    app.py:119) -> models.annotators.HEDNetwork tree.
+
+    The published file names its submodules ``moduleVggOne`` etc.; the torch
+    deployment remaps ``module`` -> ``net`` at load time, which we mirror.
+    """
+    remapped = {k.replace("module", "net"): v for k, v in sd.items()}
+    return state_dict_to_tree(remapped)
+
+
+def convert_bodypose(sd: Dict[str, np.ndarray]) -> dict:
+    """``body_pose_model.pth`` (CMU body cascade, downloaded by the
+    reference's controlnet_aux OpenposeDetector, app.py:118) ->
+    models.annotators.BodyPoseModel tree.
+
+    The checkpoint uses flat Caffe layer names (``conv1_1.weight``,
+    ``Mconv7_stage6_L2.bias``); torch deployments prefix them with
+    ``model0.``/``model{s}_{b}.`` module paths, which we strip if present.
+    """
+    flat = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if len(parts) == 3 and parts[0].startswith("model"):
+            k = ".".join(parts[1:])
+        flat[k] = v
+    return state_dict_to_tree(flat)
