@@ -57,10 +57,13 @@ def main() -> None:
 
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
+    quantize = os.environ.get("POWERPAINT_BENCH_QUANTIZE") or None
     if which == "v2":
-        pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+        pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16,
+                                quantize=quantize)
     else:
-        pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+        pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16,
+                               quantize=quantize)
 
     rng = np.random.RandomState(0)
     image = (rng.rand(512, 512, 3) * 255).astype(np.uint8)

@@ -45,6 +45,87 @@ class LayerNorm(nn.Module):
         return layer_norm(x, gamma, beta, eps=self.eps)
 
 
+class Conv2D(nn.Module):
+    """NHWC conv, drop-in for ``nn.Conv`` (same param names/shapes/init and
+    bit-identical float compute), plus an experimental W8A8 int8 compute
+    mode: under ``ops.int8.quantized()`` large convs run as
+    dynamic-quantized int8 MXU ops (see ops/int8.py for measured
+    end-to-end numbers — currently slower; off by default)."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: Union[str, tuple] = ((1, 1), (1, 1))
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from powerpaint_tpu.ops import int8
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias else None
+        )
+        n_rows = x.shape[0] * x.shape[1] * x.shape[2]
+        if int8.enabled() and n_rows >= int8.MIN_ROWS:
+            y = int8.int8_conv(x, kernel, self.strides, self.padding)
+            y = y.astype(self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class DenseGeneral(nn.Module):
+    """Drop-in for ``nn.Dense`` (same params, bit-identical float compute)
+    with the W8A8 int8 mode of :class:`Conv2D` for large matmuls."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from powerpaint_tpu.ops import int8
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias else None
+        )
+        n_rows = 1
+        for d in x.shape[:-1]:
+            n_rows *= d
+        if int8.enabled() and n_rows >= int8.MIN_ROWS:
+            y = int8.int8_matmul(x, kernel).astype(self.dtype)
+        else:
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (((x.ndim - 1,), (0,)), ((), ())),
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv(
     features: int,
     kernel: int = 3,
@@ -55,10 +136,10 @@ def conv(
     param_dtype=jnp.float32,
     name: Optional[str] = None,
     use_bias: bool = True,
-) -> nn.Conv:
+) -> Conv2D:
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    return nn.Conv(
+    return Conv2D(
         features,
         (kernel, kernel),
         strides=(stride, stride),
@@ -77,8 +158,8 @@ def dense(
     param_dtype=jnp.float32,
     use_bias: bool = True,
     name: Optional[str] = None,
-) -> nn.Dense:
-    return nn.Dense(
+) -> DenseGeneral:
+    return DenseGeneral(
         features,
         dtype=dtype,
         param_dtype=param_dtype,

@@ -18,12 +18,14 @@ vae = AutoencoderKL(cfg.vae, dtype=jnp.bfloat16)
 text = CLIPTextModel(cfg.text_encoder, dtype=jnp.bfloat16)
 
 def timeit(name, fn, *args, n=5):
+    # np.asarray fetch is the only reliable execution fence on the remote
+    # relay (block_until_ready can return before the work runs)
     fn(*args)  # compile
-    jax.block_until_ready(fn(*args))
+    _ = np.asarray(fn(*args)).ravel()[:1]
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out).ravel()[:1]
     dt = (time.time() - t0) / n
     print(json.dumps({"name": name, "ms": round(dt*1000, 2)}), flush=True)
     return dt
