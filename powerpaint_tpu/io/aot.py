@@ -1,0 +1,196 @@
+"""AOT compilation cache: serialize compiled executables to disk.
+
+The reference pays no compile cost (eager torch); our single-jit pipelines
+compile once per (shape, step-count, sampler) signature — several minutes
+on a remote TPU.  The persistent XLA compilation cache already makes
+repeat *processes* warm, but still pays tracing + cache lookup; this
+module makes cold start explicit and portable: `dump()` an already-jitted
+function's compiled executable for concrete example arguments, `load()`
+it in a fresh process and run without tracing or compiling at all.
+
+Serialized executables are topology-bound (same device kind/count and
+jax version) — exactly the serving use case (same TPU, process restarts).
+
+Pipelines integrate via :class:`AotDispatcher`: a drop-in wrapper around
+the jitted generate that consults loaded executables by argument
+signature and falls back to the jitted path on miss (so a pipeline with
+an AOT cache behaves identically, only faster to first image).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+_MAGIC = "powerpaint-aot-v1"
+
+
+def _leaf_sig(x: Any) -> Any:
+    """Stable signature of one dynamic argument leaf."""
+    if x is None:
+        return None
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return (tuple(x.shape), str(np.dtype(x.dtype)))
+    return ("py", repr(x))
+
+
+def signature(dynamic_args: Sequence[Any], statics: Sequence[Any]) -> Tuple:
+    dyn = tuple(
+        tuple(_leaf_sig(leaf) for leaf in jax.tree.leaves(a, is_leaf=lambda
+              l: l is None))
+        for a in dynamic_args
+    )
+    return (dyn, tuple(repr(s) for s in statics))
+
+
+def dump(jitted, path: str, *args, n_static_tail: int = 0) -> Tuple:
+    """Lower+compile ``jitted`` for ``args`` and serialize to ``path``.
+
+    ``args`` is the FULL argument list (dynamic leading, then
+    ``n_static_tail`` static trailing arguments, exactly as the function
+    is invoked).  Returns the stored signature.
+    """
+    from jax.experimental.serialize_executable import serialize
+
+    dyn = args[: len(args) - n_static_tail] if n_static_tail else args
+    statics = args[len(args) - n_static_tail:] if n_static_tail else ()
+    compiled = jitted.lower(*args).compile()
+    blob, in_tree, out_tree = serialize(compiled)
+    sig = signature(dyn, statics)
+    # device span of THIS executable (1 for plain jit, N under a mesh) —
+    # deserialize_and_load defaults to every local device, which breaks
+    # single-device executables on multi-device hosts.
+    spans = [len(s.device_set) for s in jax.tree.leaves(compiled.input_shardings)]
+    payload = {
+        "magic": _MAGIC,
+        "jax_version": jax.__version__,
+        "platform": jax.devices()[0].platform,
+        "num_devices": max(spans) if spans else 1,
+        "signature": sig,
+        "in_tree": in_tree,
+        "out_tree": out_tree,
+        "blob": blob,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return sig
+
+
+def load(path: str):
+    """Deserialize an executable; returns ``(signature, callable)``.
+
+    The callable takes ONLY the dynamic arguments (statics were baked in
+    at lowering time).  Raises ``RuntimeError`` on topology/version
+    mismatch rather than failing opaquely inside the runtime.
+    """
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("magic") != _MAGIC:
+        raise RuntimeError(f"{path}: not a powerpaint AOT file")
+    if payload["jax_version"] != jax.__version__:
+        raise RuntimeError(
+            f"{path}: built with jax {payload['jax_version']}, "
+            f"running {jax.__version__}"
+        )
+    if (payload["platform"] != jax.devices()[0].platform
+            or payload["num_devices"] > len(jax.devices())):
+        raise RuntimeError(
+            f"{path}: built for {payload['num_devices']}x"
+            f"{payload['platform']}, running {len(jax.devices())}x"
+            f"{jax.devices()[0].platform}"
+        )
+    exe = deserialize_and_load(
+        payload["blob"], payload["in_tree"], payload["out_tree"],
+        execution_devices=jax.devices()[: payload["num_devices"]],
+    )
+    return payload["signature"], exe
+
+
+class AotDispatcher:
+    """Wraps a jitted function; routes matching calls to loaded AOT
+    executables, everything else to the jitted fallback.
+
+    ``n_static_tail``: how many trailing positional arguments are static
+    (they are baked into AOT executables and must not be passed to them).
+    """
+
+    _seq = 0  # class-wide call ordering (which dispatcher ran last)
+
+    def __init__(self, jitted, n_static_tail: int = 0):
+        self._jitted = jitted
+        self._n_static = n_static_tail
+        self._entries = []  # [(signature, callable)]
+        self._last_args: Optional[tuple] = None
+        self._last_seq = -1
+
+    def __call__(self, *args):
+        self._last_args = args
+        AotDispatcher._seq += 1
+        self._last_seq = AotDispatcher._seq
+        if self._entries:
+            n = len(args) - self._n_static
+            dyn, statics = args[:n], args[n:]
+            sig = signature(dyn, statics)
+            for stored, exe in self._entries:
+                if stored == sig:
+                    return exe(*dyn)
+        return self._jitted(*args)
+
+    # pass-through so .lower() etc. keep working on the wrapped function
+    def __getattr__(self, name):
+        return getattr(self._jitted, name)
+
+    def dump(self, path: str, *args) -> Tuple:
+        return dump(self._jitted, path, *args,
+                    n_static_tail=self._n_static)
+
+    def dump_last(self, path: str) -> Tuple:
+        """Serialize the executable for the most recent call's signature
+        (make one warmup call first — it defines the shapes/statics)."""
+        if self._last_args is None:
+            raise RuntimeError(
+                "no call recorded yet — invoke the pipeline once with the "
+                "production shapes, then dump"
+            )
+        return self.dump(path, *self._last_args)
+
+    def load(self, path: str) -> Tuple:
+        sig, exe = load(path)
+        self._entries.append((sig, exe))
+        return sig
+
+
+class AotPipelineMixin:
+    """Pipeline-facing AOT surface; expects the pipeline's jitted generate
+    functions (``_generate`` and/or ``_generate_cn``) to be wrapped in
+    :class:`AotDispatcher`."""
+
+    def _aot_dispatchers(self):
+        return [
+            d for d in (getattr(self, n, None)
+                        for n in ("_generate", "_generate_cn"))
+            if isinstance(d, AotDispatcher)
+        ]
+
+    def aot_dump(self, path: str):
+        """Serialize the compiled generate executable for the most recent
+        call's shapes/statics.  Warm up with one production call, dump
+        once; a fresh process then ``aot_load``s and serves its first
+        image without tracing or compiling."""
+        ds = [d for d in self._aot_dispatchers() if d._last_args is not None]
+        if not ds:
+            raise RuntimeError("call the pipeline once before aot_dump")
+        return max(ds, key=lambda d: d._last_seq).dump_last(path)
+
+    def aot_load(self, path: str):
+        """Load a serialized executable; calls with matching shapes and
+        statics skip compilation entirely (mismatches fall back to jit)."""
+        sig, exe = load(path)
+        for d in self._aot_dispatchers():
+            d._entries.append((sig, exe))
+        return sig

@@ -39,6 +39,7 @@ from powerpaint_tpu.models.blocks import (
     UpBlock2D,
 )
 from powerpaint_tpu.models.layers import TimestepEmbedding, conv, timestep_sinusoid
+from powerpaint_tpu.ops.attention import sp_hint
 
 Taps = Optional[Tuple[jnp.ndarray, ...]]
 
@@ -178,7 +179,11 @@ class UNet2DConditionModel(nn.Module):
                     x, block_skips = DownBlock2D(
                         name=f"down_blocks_{i}", **common
                     )(x, temb, None, taps)
-                skips.extend(block_skips)
+                # sequence-parallel mode: pin each level's sharding (rows
+                # when divisible, replicated below that) — see
+                # ops.attention.sp_hint for why inference is not enough
+                skips.extend(sp_hint(s) for s in block_skips)
+                x = sp_hint(x)
 
             if is_controlnet:
                 skips = [
@@ -207,6 +212,7 @@ class UNet2DConditionModel(nn.Module):
             x = x + mid_block_additional_residual
         if is_brushnet and mid_block_add_sample is not None:
             x = x + mid_block_add_sample
+        x = sp_hint(x)
 
         # 5. up
         up_counts = _up_tap_counts(cfg)
@@ -247,6 +253,7 @@ class UNet2DConditionModel(nn.Module):
                     freeu=self.freeu, resolution_idx=i,
                     name=f"up_blocks_{i}", **common
                 )(x, temb, block_skips, None, taps, output_size=output_size)
+            x = sp_hint(x)
 
         # 6. out
         from powerpaint_tpu.models.layers import GroupNorm

@@ -38,8 +38,11 @@ from powerpaint_tpu.text.prompts import add_task, v2_prompt_suffix
 from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
+from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+
+
 @dataclasses.dataclass
-class BrushNetPipeline:
+class BrushNetPipeline(AotPipelineMixin):
     config: PowerPaintConfig
     params: dict  # unet, vae, brushnet, text_encoder (plain),
     #               text_encoder_brushnet (task tokens)
@@ -108,6 +111,7 @@ class BrushNetPipeline:
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics
             )
+        self._generate = AotDispatcher(self._generate, n_static_tail=4)
 
     def _generate_fn(
         self,

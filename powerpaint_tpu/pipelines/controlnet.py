@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu import schedulers as sched_registry
+from powerpaint_tpu.io.aot import AotDispatcher
 from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim
@@ -82,6 +83,7 @@ class ControlNetPipeline(InpaintPipeline):
             self._generate_cn = jax.jit(
                 self._generate_cn_fn, static_argnames=statics
             )
+        self._generate_cn = AotDispatcher(self._generate_cn, n_static_tail=6)
 
     def _generate_cn_fn(
         self,

@@ -33,8 +33,11 @@ from powerpaint_tpu.text.prompts import TaskPrompts, add_task
 from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
+from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+
+
 @dataclasses.dataclass
-class InpaintPipeline:
+class InpaintPipeline(AotPipelineMixin):
     config: PowerPaintConfig
     params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
     tokenizer: TokenizerWrapper
@@ -53,6 +56,14 @@ class InpaintPipeline:
     # on the current XLA stack; see that module's docstring).  Opt-in
     # approximation — norms, softmax, schedulers, VAE stay bf16/fp32.
     quantize: Optional[str] = None
+    # sequence-parallel (context-parallel) mode for ONE huge canvas on a
+    # mesh (SURVEY.md §5.7: 4x outpaint -> 2048px -> 65k latent tokens):
+    # instead of sharding the batch, shard latent ROWS over the data axis;
+    # GSPMD handles convs/GroupNorm (halo exchange / cross-shard psums)
+    # and self-attention with >= sp_min_seq tokens rides the ring-attention
+    # kernel (ops/ring_attention.py) via ops.attention.ring_context.
+    sequence_parallel: bool = False
+    sp_min_seq: int = 2048
 
     def __post_init__(self):
         cfg = self.config
@@ -78,17 +89,28 @@ class InpaintPipeline:
             self.params = jax.device_put(self.params, p_shard)
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
-            # args: params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
-            #       guidance, seeds, latents
-            self._generate = jax.jit(
-                self._generate_fn,
-                static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta", "sampler",
-                                 "encoder_cache_interval"),
-                in_shardings=(p_shard, repl, repl, repl, batch, batch, repl,
-                              batch, None),
-                out_shardings=batch,
-            )
+            statics = ("num_steps", "strength_steps", "out_uint8", "eta",
+                       "sampler", "encoder_cache_interval")
+            if self.sequence_parallel:
+                # latent ROWS over the data axis; batch stays whole
+                rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                self._generate = jax.jit(
+                    self._generate_fn_sp,
+                    static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, rows, rows,
+                                  repl, repl, None),
+                    out_shardings=rows,
+                )
+            else:
+                # args: params, ids, tradoff, tradoff_nag, image_u8,
+                #       mask_u8, guidance, seeds, latents
+                self._generate = jax.jit(
+                    self._generate_fn,
+                    static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, batch, batch,
+                                  repl, batch, None),
+                    out_shardings=batch,
+                )
         else:
             self._generate = jax.jit(
                 self._generate_fn,
@@ -96,6 +118,7 @@ class InpaintPipeline:
                                  "eta", "sampler",
                                  "encoder_cache_interval"),
             )
+        self._generate = AotDispatcher(self._generate, n_static_tail=6)
 
     # ------------------------------------------------------------------ jit
 
@@ -208,6 +231,36 @@ class InpaintPipeline:
             body, (latents, state, cache0), jnp.arange(sched.num_steps)
         )
         return latents
+
+    def _generate_fn_sp(
+        self,
+        params,
+        ids: jnp.ndarray,
+        tradoff: jnp.ndarray,
+        tradoff_nag: jnp.ndarray,
+        image_u8: jnp.ndarray,
+        mask_u8: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+        seeds: jnp.ndarray,
+        latents_in: Optional[jnp.ndarray],
+        num_steps: int,
+        strength_steps: int,
+        out_uint8: bool = True,
+        eta: float = 0.0,
+        sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
+    ):
+        """Sequence-parallel generate: same math as ``_generate_fn``, with
+        ring attention enabled for long self-attention at trace time."""
+        from powerpaint_tpu.ops.attention import ring_context
+
+        with ring_context(self.mesh, min_seq=self.sp_min_seq):
+            return self._generate_fn(
+                params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
+                guidance_scale, seeds, latents_in, num_steps,
+                strength_steps, out_uint8, eta, sampler,
+                encoder_cache_interval,
+            )
 
     def _generate_fn(
         self,
@@ -392,6 +445,26 @@ class InpaintPipeline:
             if isinstance(guidance_scale, (list, tuple))
             else [guidance_scale] * len(prompts)
         )
+
+        if self.sequence_parallel and self.mesh is not None:
+            # every level of the latent pyramid must divide the mesh axis:
+            # non-divisible levels make GSPMD pad shardings inside the
+            # denoise scan, which XLA:CPU miscompiles (and which wastes
+            # devices everywhere) — reject early with a clear message
+            from powerpaint_tpu.core.validation import InputValidationError
+            from powerpaint_tpu.parallel.mesh import DATA_AXIS
+
+            n_axis = self.mesh.shape[DATA_AXIS]
+            n_levels = len(self.config.unet.block_out_channels)
+            h_img = np.asarray(image).shape[-3]
+            deepest = (h_img // 8) >> (n_levels - 1)
+            if deepest % n_axis != 0:
+                raise InputValidationError(
+                    f"sequence_parallel: image height {h_img} gives a "
+                    f"deepest latent level of {deepest} rows, not divisible "
+                    f"by the {n_axis}-way mesh axis; use a multiple of "
+                    f"{8 * (1 << (n_levels - 1)) * n_axis}"
+                )
 
         img0 = np.asarray(image)
         if multi and img0.ndim == 4:

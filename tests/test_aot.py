@@ -1,0 +1,119 @@
+"""AOT executable serialization (io/aot.py): cold-start without compile.
+
+No reference counterpart (torch is eager); this is the TPU-native answer
+to serving cold start — serialize the compiled generate executable, load
+it in a fresh process, first image runs without tracing or compiling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from powerpaint_tpu.io.aot import AotDispatcher, dump, load
+
+
+def _f(x, w, b, scale, flag):
+    y = jnp.tanh(x @ w) * scale
+    if b is not None:
+        y = y + b
+    return y * (2.0 if flag else 1.0)
+
+
+def test_dump_load_roundtrip(tmp_path):
+    disp = AotDispatcher(jax.jit(_f, static_argnames=("flag",)),
+                         n_static_tail=1)
+    x = jnp.ones((64, 32))
+    w = jnp.ones((32, 16))
+    scale = jnp.float32(0.5)
+    ref = np.asarray(disp(x, w, None, scale, True))
+    path = str(tmp_path / "f.aot")
+    disp.dump_last(path)
+
+    # fresh dispatcher: load and execute without ever tracing
+    def boom(*a, **k):
+        raise AssertionError("jit fallback used despite AOT hit")
+
+    disp2 = AotDispatcher(boom, n_static_tail=1)
+    disp2.load(path)
+    out = np.asarray(disp2(x, w, None, scale, True))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_signature_miss_falls_back(tmp_path):
+    jitted = jax.jit(_f, static_argnames=("flag",))
+    disp = AotDispatcher(jitted, n_static_tail=1)
+    x = jnp.ones((64, 32))
+    w = jnp.ones((32, 16))
+    scale = jnp.float32(0.5)
+    disp(x, w, None, scale, True)
+    path = str(tmp_path / "f.aot")
+    disp.dump_last(path)
+    disp.load(path)
+    # different shape -> fallback to jit, still correct
+    x2 = jnp.ones((8, 32))
+    out = np.asarray(disp(x2, w, None, scale, True))
+    np.testing.assert_allclose(
+        out, np.asarray(jitted(x2, w, None, scale, True))
+    )
+    # different STATIC -> must also miss (statics are baked into the exe)
+    out3 = np.asarray(disp(x, w, None, scale, False))
+    np.testing.assert_allclose(
+        out3, np.asarray(jitted(x, w, None, scale, False))
+    )
+
+
+def test_version_guard(tmp_path):
+    jitted = jax.jit(lambda x: x + 1)
+    path = str(tmp_path / "v.aot")
+    dump(jitted, path, jnp.ones((4,)))
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["jax_version"] = "0.0.0"
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.raises(RuntimeError, match="built with jax"):
+        load(path)
+
+
+def test_pipeline_aot_roundtrip(tmp_path):
+    if jax.devices()[0].platform == "cpu":
+        # XLA:CPU's AOT loader chokes on large fused executables
+        # ("Buffer Definition Event: Function ..._fusion not found");
+        # small functions roundtrip (tests above) and TPU roundtrips the
+        # full pipeline (validated live on v5e — see io/aot.py docstring).
+        pytest.skip("XLA:CPU AOT loader incomplete for large executables")
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+    from powerpaint_tpu.testing import tiny_v1_config
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)
+    img = np.zeros((64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+
+    pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+    ref = pipe(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
+    path = str(tmp_path / "v1.aot")
+    pipe.aot_dump(path)
+
+    # fresh pipeline (fresh process stand-in): load, then the same call
+    # must hit the AOT executable, not the jit path
+    pipe2 = InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
+    pipe2.aot_load(path)
+    assert pipe2._generate._entries
+    pipe2._generate._jitted = None  # any jit fallback would now crash
+    out = pipe2(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
+    np.testing.assert_array_equal(ref, out)
