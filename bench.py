@@ -81,6 +81,25 @@ def main() -> None:
         return pipe(image, mask, prompt="a red sports car", seed=seed,
                     num_inference_steps=steps, **extra_kw)
 
+    # AOT executable cache (io/aot.py): alongside the XLA persistent cache,
+    # a serialized executable of the 20-step call makes the warmup skip
+    # tracing AND compiling entirely on repeat runs (same TPU + jax).
+    aot_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".aot")
+    # the executable bakes in trace-time env knobs (e.g. conv formulation),
+    # so those must be part of the cache file name
+    im2col = os.environ.get("POWERPAINT_CONV_IM2COL", "0") == "1"
+    aot_path = os.path.join(
+        aot_dir, f"ppt_{which}_512_b1{'_im2col' if im2col else ''}.aot"
+    )
+    aot_loaded = False
+    if platform == "tpu" and os.path.exists(aot_path):
+        try:
+            pipe.aot_load(aot_path)
+            aot_loaded = True
+        except Exception:
+            pass
+
     # warmup / compile (two step counts -> two executables)
     t0 = time.time()
     run(20)
@@ -88,6 +107,13 @@ def main() -> None:
     t0 = time.time()
     run(10)
     compile_10 = time.time() - t0
+    if platform == "tpu" and not aot_loaded and not quantize:
+        try:
+            os.makedirs(aot_dir, exist_ok=True)
+            run(20)  # make the 20-step call the dispatcher's last
+            pipe.aot_dump(aot_path)
+        except Exception:
+            pass
 
     def timed(steps, n=3):
         ts = []
@@ -134,6 +160,7 @@ def main() -> None:
             "t_total_10step_s": round(t10, 4),
             "p50_step_latency_ms": round(per_step * 1000, 2),
             "compile_s": round(compile_20 + compile_10, 1),
+            "aot_warm": aot_loaded,
             "batch": 1,
             "dtype": "bfloat16",
             **batched,

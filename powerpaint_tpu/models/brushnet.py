@@ -39,6 +39,7 @@ from powerpaint_tpu.models.blocks import (
     UpBlock2D,
 )
 from powerpaint_tpu.models.layers import TimestepEmbedding, conv, timestep_sinusoid
+from powerpaint_tpu.ops.attention import sp_hint
 
 
 def zero_conv(ch: int, dtype, param_dtype, name: str) -> nn.Conv:
@@ -110,7 +111,10 @@ class BrushNetModel(nn.Module):
                 x, feats = DownBlock2D(name=f"down_blocks_{i}", **common)(
                     x, temb
                 )
-            down_features.extend(feats)
+            # sequence-parallel mode: pin level-boundary shardings
+            # (ops.attention.sp_hint, same rationale as models/unet.py)
+            down_features.extend(sp_hint(f) for f in feats)
+            x = sp_hint(x)
 
         down_taps = tuple(
             zero_conv(f.shape[-1], self.dtype, self.param_dtype,
@@ -133,6 +137,7 @@ class BrushNetModel(nn.Module):
                 self.dtype, self.param_dtype, name="mid_block",
             )(x, temb)
 
+        x = sp_hint(x)
         mid_tap = zero_conv(
             x.shape[-1], self.dtype, self.param_dtype, "brushnet_mid_block"
         )(x)
@@ -163,7 +168,8 @@ class BrushNetModel(nn.Module):
                 x, feats = UpBlock2D(name=f"up_blocks_{i}", **common)(
                     x, temb, block_skips, emit=True, output_size=output_size
                 )
-            up_features.extend(feats)
+            up_features.extend(sp_hint(f) for f in feats)
+            x = sp_hint(x)
 
         up_taps = tuple(
             zero_conv(f.shape[-1], self.dtype, self.param_dtype,

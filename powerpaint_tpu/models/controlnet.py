@@ -32,6 +32,7 @@ from powerpaint_tpu.models.blocks import (
 )
 from powerpaint_tpu.models.brushnet import zero_conv
 from powerpaint_tpu.models.layers import TimestepEmbedding, conv, timestep_sinusoid
+from powerpaint_tpu.ops.attention import sp_hint
 
 
 class ControlNetConditioningEmbedding(nn.Module):
@@ -126,7 +127,10 @@ class ControlNetModel(nn.Module):
                 x, feats = DownBlock2D(name=f"down_blocks_{i}", **common)(
                     x, temb
                 )
-            features.extend(feats)
+            # sequence-parallel mode: pin level-boundary shardings
+            # (ops.attention.sp_hint, same rationale as models/unet.py)
+            features.extend(sp_hint(f) for f in feats)
+            x = sp_hint(x)
 
         if cfg.mid_block_type == MID_CROSS_ATTN:
             x = UNetMidBlock2DCrossAttn(
@@ -141,6 +145,7 @@ class ControlNetModel(nn.Module):
                 self.dtype, self.param_dtype, name="mid_block",
             )(x, temb)
 
+        x = sp_hint(x)
         down_res = tuple(
             zero_conv(f.shape[-1], self.dtype, self.param_dtype,
                       f"controlnet_down_blocks_{i}")(f)

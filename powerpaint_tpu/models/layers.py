@@ -45,12 +45,24 @@ class LayerNorm(nn.Module):
         return layer_norm(x, gamma, beta, eps=self.eps)
 
 
+def _im2col_wanted() -> bool:
+    import os
+
+    return os.environ.get("POWERPAINT_CONV_IM2COL", "0") == "1"
+
+
 class Conv2D(nn.Module):
     """NHWC conv, drop-in for ``nn.Conv`` (same param names/shapes/init and
     bit-identical float compute), plus an experimental W8A8 int8 compute
     mode: under ``ops.int8.quantized()`` large convs run as
     dynamic-quantized int8 MXU ops (see ops/int8.py for measured
-    end-to-end numbers — currently slower; off by default)."""
+    end-to-end numbers — currently slower; off by default).
+
+    POWERPAINT_CONV_IM2COL=1 reformulates small-spatial stride-1 3x3 SAME
+    convs as explicit im2col + one GEMM: on v5e at the UNet's 16x16x1280 /
+    8x8x1280 levels the GEMM runs 10-17% faster than XLA's conv lowering
+    (scripts/perf_conv.py, scan protocol).  Same math to fp32 reduction
+    order, not bitwise — hence opt-in."""
 
     features: int
     kernel_size: tuple
@@ -78,6 +90,14 @@ class Conv2D(nn.Module):
         if int8.enabled() and n_rows >= int8.MIN_ROWS:
             y = int8.int8_conv(x, kernel, self.strides, self.padding)
             y = y.astype(self.dtype)
+        elif (
+            _im2col_wanted()
+            and (kh, kw) == (3, 3)
+            and self.strides == (1, 1)
+            and self.padding == ((1, 1), (1, 1))
+            and x.shape[1] * x.shape[2] <= 1024  # <= 32x32: GEMM wins
+        ):
+            y = self._im2col(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
@@ -87,6 +107,18 @@ class Conv2D(nn.Module):
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+    def _im2col(self, x, kernel):
+        b, h, w, cin = x.shape
+        cout = kernel.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [
+            xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(3) for dx in range(3)
+        ]
+        patches = jnp.concatenate(cols, axis=-1).reshape(b * h * w, 9 * cin)
+        y = jnp.dot(patches, kernel.reshape(9 * cin, cout))
+        return y.reshape(b, h, w, cout)
 
 
 class DenseGeneral(nn.Module):

@@ -54,6 +54,11 @@ class BrushNetPipeline(AotPipelineMixin):
     # "int8": W8A8 dynamic-quantized convs/projections in BOTH UNet-scale
     # forwards (base + branch) — see pipelines/inpaint.py
     quantize: Optional[str] = None
+    # sequence-parallel mode for one huge canvas on a mesh: latent rows
+    # sharded over "data", ring attention on long self-attention in BOTH
+    # the base UNet and the BrushNet branch (see pipelines/inpaint.py)
+    sequence_parallel: bool = False
+    sp_min_seq: int = 2048
 
     def __post_init__(self):
         cfg = self.config
@@ -101,17 +106,59 @@ class BrushNetPipeline(AotPipelineMixin):
             # args: params, ids_task, ids_plain, tradoff, tradoff_nag,
             #       image_u8, mask_u8, guidance, cond_scale_table, seeds,
             #       latents, ip_embeds, ip_scale
-            self._generate = jax.jit(
-                self._generate_fn, static_argnames=statics,
-                in_shardings=(p_shard, repl, repl, repl, repl, batch, batch,
-                              repl, repl, batch, None, None, None),
-                out_shardings=batch,
-            )
+            if self.sequence_parallel:
+                rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                self._generate = jax.jit(
+                    self._generate_fn_sp, static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, repl, rows,
+                                  rows, repl, repl, repl, None, None, None),
+                    out_shardings=rows,
+                )
+            else:
+                self._generate = jax.jit(
+                    self._generate_fn, static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, repl, batch,
+                                  batch, repl, repl, batch, None, None,
+                                  None),
+                    out_shardings=batch,
+                )
         else:
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics
             )
         self._generate = AotDispatcher(self._generate, n_static_tail=4)
+
+    def _generate_fn_sp(
+        self,
+        params,
+        ids_task: jnp.ndarray,
+        ids_plain: jnp.ndarray,
+        tradoff: jnp.ndarray,
+        tradoff_nag: jnp.ndarray,
+        image_u8: jnp.ndarray,
+        mask_u8: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+        cond_scale_table: jnp.ndarray,
+        seeds: jnp.ndarray,
+        latents_in: Optional[jnp.ndarray],
+        ip_embeds: Optional[jnp.ndarray],
+        ip_scale: jnp.ndarray,
+        num_steps: int,
+        out_uint8: bool = True,
+        guess_mode: bool = False,
+        branch_cache_interval: int = 1,
+    ):
+        """Sequence-parallel generate: same math as ``_generate_fn`` with
+        ring attention enabled at trace time (see pipelines/inpaint.py)."""
+        from powerpaint_tpu.ops.attention import ring_context
+
+        with ring_context(self.mesh, min_seq=self.sp_min_seq):
+            return self._generate_fn(
+                params, ids_task, ids_plain, tradoff, tradoff_nag,
+                image_u8, mask_u8, guidance_scale, cond_scale_table, seeds,
+                latents_in, ip_embeds, ip_scale, num_steps, out_uint8,
+                guess_mode, branch_cache_interval,
+            )
 
     def _generate_fn(
         self,
@@ -374,6 +421,24 @@ class BrushNetPipeline(AotPipelineMixin):
             )
         ids_task = np.stack(ids_task_rows)  # (P, 4, 77)
         ids_plain = np.stack(ids_plain_rows)  # (P, 2, 77)
+
+        if self.sequence_parallel and self.mesh is not None:
+            # every latent pyramid level must divide the mesh axis — see
+            # pipelines/inpaint.py (same XLA:CPU padded-sharding hazard)
+            from powerpaint_tpu.core.validation import InputValidationError
+            from powerpaint_tpu.parallel.mesh import DATA_AXIS
+
+            n_axis = self.mesh.shape[DATA_AXIS]
+            n_levels = len(self.config.unet.block_out_channels)
+            h_img = np.asarray(image).shape[-3]
+            deepest = (h_img // 8) >> (n_levels - 1)
+            if deepest % n_axis != 0:
+                raise InputValidationError(
+                    f"sequence_parallel: image height {h_img} gives a "
+                    f"deepest latent level of {deepest} rows, not divisible "
+                    f"by the {n_axis}-way mesh axis; use a multiple of "
+                    f"{8 * (1 << (n_levels - 1)) * n_axis}"
+                )
 
         img0 = np.asarray(image)
         if multi and img0.ndim == 4:

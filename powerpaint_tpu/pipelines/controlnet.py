@@ -73,17 +73,59 @@ class ControlNetPipeline(InpaintPipeline):
             # args: params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
             #       control_u8 (N,B,...), guidance, cond_scale_table (S,N),
             #       rng, latents
-            self._generate_cn = jax.jit(
-                self._generate_cn_fn, static_argnames=statics,
-                in_shardings=(p_shard, repl, repl, repl, batch, batch,
-                              nbatch, repl, repl, repl, None),
-                out_shardings=batch,
-            )
+            if self.sequence_parallel:
+                rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                nrows = NamedSharding(self.mesh, P(None, None, DATA_AXIS))
+                self._generate_cn = jax.jit(
+                    self._generate_cn_fn_sp, static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, rows, rows,
+                                  nrows, repl, repl, repl, None),
+                    out_shardings=rows,
+                )
+            else:
+                self._generate_cn = jax.jit(
+                    self._generate_cn_fn, static_argnames=statics,
+                    in_shardings=(p_shard, repl, repl, repl, batch, batch,
+                                  nbatch, repl, repl, repl, None),
+                    out_shardings=batch,
+                )
         else:
             self._generate_cn = jax.jit(
                 self._generate_cn_fn, static_argnames=statics
             )
         self._generate_cn = AotDispatcher(self._generate_cn, n_static_tail=6)
+
+    def _generate_cn_fn_sp(
+        self,
+        params,
+        ids: jnp.ndarray,
+        tradoff: jnp.ndarray,
+        tradoff_nag: jnp.ndarray,
+        image_u8: jnp.ndarray,
+        mask_u8: jnp.ndarray,
+        control_u8: jnp.ndarray,
+        guidance_scale: jnp.ndarray,
+        cond_scale_table: jnp.ndarray,
+        rng: jax.Array,
+        latents_in: Optional[jnp.ndarray],
+        num_steps: int,
+        strength_steps: int,
+        out_uint8: bool = True,
+        eta: float = 0.0,
+        sampler: str = "ddim",
+        guess_mode: bool = False,
+    ):
+        """Sequence-parallel generate: same math as ``_generate_cn_fn``
+        with ring attention enabled at trace time (pipelines/inpaint.py)."""
+        from powerpaint_tpu.ops.attention import ring_context
+
+        with ring_context(self.mesh, min_seq=self.sp_min_seq):
+            return self._generate_cn_fn(
+                params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
+                control_u8, guidance_scale, cond_scale_table, rng,
+                latents_in, num_steps, strength_steps, out_uint8, eta,
+                sampler, guess_mode,
+            )
 
     def _generate_cn_fn(
         self,
@@ -255,6 +297,23 @@ class ControlNetPipeline(InpaintPipeline):
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
         check_image_mask(img, msk)
+
+        if self.sequence_parallel and self.mesh is not None:
+            # same latent-pyramid divisibility guard as the parent
+            # (pipelines/inpaint.py) — padded shardings are hazardous
+            from powerpaint_tpu.core.validation import InputValidationError
+            from powerpaint_tpu.parallel.mesh import DATA_AXIS
+
+            n_axis = self.mesh.shape[DATA_AXIS]
+            n_levels = len(self.config.unet.block_out_channels)
+            deepest = (img.shape[0] // 8) >> (n_levels - 1)
+            if deepest % n_axis != 0:
+                raise InputValidationError(
+                    f"sequence_parallel: image height {img.shape[0]} gives "
+                    f"a deepest latent level of {deepest} rows, not "
+                    f"divisible by the {n_axis}-way mesh axis; use a "
+                    f"multiple of {8 * (1 << (n_levels - 1)) * n_axis}"
+                )
 
         controls = (
             list(control_image)

@@ -160,3 +160,26 @@ def test_pipeline_int8_opt_in_runs():
     out2 = pipe_q(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
     assert out1.shape == (1, 64, 64, 3) and out1.dtype == np.uint8
     np.testing.assert_array_equal(out1, out2)  # still deterministic
+
+
+def test_im2col_conv_matches_xla_conv(monkeypatch):
+    """POWERPAINT_CONV_IM2COL=1 reformulates small 3x3 convs as im2col
+    GEMM — same math to fp32 reduction order (layers.Conv2D._im2col)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 24), jnp.float32)
+    m = Conv2D(32, (3, 3), dtype=jnp.float32)
+    p = m.init(rng, x)
+    monkeypatch.setenv("POWERPAINT_CONV_IM2COL", "1")
+    y_im2col = np.asarray(jax.jit(lambda p, x: m.apply(p, x))(p, x))
+    monkeypatch.setenv("POWERPAINT_CONV_IM2COL", "0")
+    y_conv = np.asarray(jax.jit(lambda p, x: m.apply(p, x))(p, x))
+    np.testing.assert_allclose(y_im2col, y_conv, rtol=2e-5, atol=2e-5)
+    # strided / large-spatial convs stay on the conv path regardless
+    xs = jax.random.normal(rng, (1, 64, 64, 8), jnp.float32)
+    ms = Conv2D(8, (3, 3), strides=(2, 2), dtype=jnp.float32)
+    ps = ms.init(rng, xs)
+    monkeypatch.setenv("POWERPAINT_CONV_IM2COL", "1")
+    a = np.asarray(ms.apply(ps, xs))
+    monkeypatch.setenv("POWERPAINT_CONV_IM2COL", "0")
+    b = np.asarray(ms.apply(ps, xs))
+    np.testing.assert_array_equal(a, b)
