@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the tiny test config (fast smoke runs)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the generate call")
+    p.add_argument("--aot-cache", dest="aot_cache", default=None,
+                   metavar="FILE",
+                   help="AOT executable cache (io/aot.py): load the "
+                        "serialized generate executable if FILE exists "
+                        "(first image without tracing/compiling), else dump "
+                        "it there after the first call")
     return p
 
 
@@ -143,6 +149,17 @@ def run_one_shot(args) -> int:
 
     pipe = build_pipeline(args)
 
+    import os
+
+    aot_loaded = False
+    if args.aot_cache and os.path.exists(args.aot_cache):
+        try:
+            pipe.aot_load(args.aot_cache)
+            aot_loaded = True
+            print(f"aot: loaded {args.aot_cache}")
+        except Exception as e:  # version/topology mismatch -> jit fallback
+            print(f"aot: ignoring {args.aot_cache}: {e}", file=sys.stderr)
+
     kwargs = {}
     if args.version == "ppt-v1" and not args.control_type:
         kwargs["scheduler"] = args.scheduler
@@ -167,6 +184,12 @@ def run_one_shot(args) -> int:
             **kwargs,
         )
     dt = time.time() - t0
+    if args.aot_cache and not aot_loaded:
+        try:
+            pipe.aot_dump(args.aot_cache)
+            print(f"aot: dumped {args.aot_cache}")
+        except Exception as e:
+            print(f"aot: dump failed: {e}", file=sys.stderr)
     final = blend_result(out[0], image, mask)
     Image.fromarray(final).save(args.output)
     print(f"wrote {args.output} ({final.shape[1]}x{final.shape[0]}) "
