@@ -102,7 +102,21 @@ def main() -> None:
 
     # warmup / compile (two step counts -> two executables)
     t0 = time.time()
-    run(20)
+    try:
+        run(20)
+    except Exception:
+        if not aot_loaded:
+            raise
+        # a stale/broken serialized executable (e.g. dumped from a
+        # persistent-cache-restored compile) — discard and recompile
+        for d in pipe._aot_dispatchers():
+            d._entries.clear()
+        try:
+            os.remove(aot_path)
+        except OSError:
+            pass
+        aot_loaded = False
+        run(20)
     compile_20 = time.time() - t0
     t0 = time.time()
     run(10)

@@ -136,9 +136,22 @@ class AotDispatcher:
             n = len(args) - self._n_static
             dyn, statics = args[:n], args[n:]
             sig = signature(dyn, statics)
-            for stored, exe in self._entries:
+            for entry in list(self._entries):
+                stored, exe = entry
                 if stored == sig:
-                    return exe(*dyn)
+                    try:
+                        out = exe(*dyn)
+                        # execution is async — force completion HERE so a
+                        # corrupt executable surfaces as this try's error,
+                        # not as a crash at the caller's device fetch
+                        return jax.block_until_ready(out)
+                    except Exception:
+                        # a serialized executable can be subtly broken
+                        # (e.g. XLA:CPU cannot re-serialize an executable
+                        # it restored from the persistent compile cache:
+                        # "Buffer Definition Event: ... not found").
+                        # Drop it and recompile via jit.
+                        self._entries.remove(entry)
         return self._jitted(*args)
 
     # pass-through so .lower() etc. keep working on the wrapped function
@@ -177,15 +190,49 @@ class AotPipelineMixin:
             if isinstance(d, AotDispatcher)
         ]
 
-    def aot_dump(self, path: str):
+    def aot_dump(self, path: str, validate: bool = True):
         """Serialize the compiled generate executable for the most recent
         call's shapes/statics.  Warm up with one production call, dump
         once; a fresh process then ``aot_load``s and serves its first
-        image without tracing or compiling."""
+        image without tracing or compiling.
+
+        ``validate`` re-loads the file and executes it once, comparing
+        against the jit result (host fetch as the fence).  This catches a
+        real hazard: XLA cannot always re-serialize an executable it
+        restored from the persistent compilation cache — the file loads
+        but crashes at run time ("Buffer Definition Event ... not
+        found").  A bad file is deleted and RuntimeError raised.
+        """
+        import os
+
         ds = [d for d in self._aot_dispatchers() if d._last_args is not None]
         if not ds:
             raise RuntimeError("call the pipeline once before aot_dump")
-        return max(ds, key=lambda d: d._last_seq).dump_last(path)
+        d = max(ds, key=lambda dd: dd._last_seq)
+        sig = d.dump_last(path)
+        if validate:
+            import numpy as np
+
+            n = len(d._last_args) - d._n_static
+            dyn = d._last_args[:n]
+            try:
+                _, exe = load(path)
+                got = np.asarray(jax.tree.leaves(exe(*dyn))[0])
+                want = np.asarray(jax.tree.leaves(d(*d._last_args))[0])
+                if not np.array_equal(got, want):
+                    raise RuntimeError("AOT output mismatch")
+            except Exception as e:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"aot_dump validation failed ({e}); this usually means "
+                    "the executable was restored from the persistent "
+                    "compilation cache, which XLA cannot re-serialize — "
+                    "dump from a freshly-compiled process instead"
+                ) from e
+        return sig
 
     def aot_load(self, path: str):
         """Load a serialized executable; calls with matching shapes and

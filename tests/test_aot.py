@@ -64,6 +64,26 @@ def test_signature_miss_falls_back(tmp_path):
     )
 
 
+def test_broken_executable_falls_back_to_jit():
+    """A loaded executable that crashes at run time (e.g. XLA re-serialized
+    a persistent-cache-restored executable) is dropped and the call
+    recompiles via jit instead of failing."""
+    jitted = jax.jit(lambda x: x * 2.0)
+    disp = AotDispatcher(jitted, n_static_tail=0)
+    x = jnp.ones((8, 8))
+    ref = np.asarray(jitted(x))
+
+    def boom(*a):
+        raise RuntimeError("Buffer Definition Event: not found")
+
+    from powerpaint_tpu.io.aot import signature
+
+    disp._entries.append((signature((x,), ()), boom))
+    out = np.asarray(disp(x))
+    np.testing.assert_array_equal(out, ref)
+    assert not disp._entries  # bad entry dropped
+
+
 def test_version_guard(tmp_path):
     jitted = jax.jit(lambda x: x + 1)
     path = str(tmp_path / "v.aot")
@@ -80,12 +100,6 @@ def test_version_guard(tmp_path):
 
 
 def test_pipeline_aot_roundtrip(tmp_path):
-    if jax.devices()[0].platform == "cpu":
-        # XLA:CPU's AOT loader chokes on large fused executables
-        # ("Buffer Definition Event: Function ..._fusion not found");
-        # small functions roundtrip (tests above) and TPU roundtrips the
-        # full pipeline (validated live on v5e — see io/aot.py docstring).
-        pytest.skip("XLA:CPU AOT loader incomplete for large executables")
     from powerpaint_tpu.io.params import init_params
     from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
     from powerpaint_tpu.testing import tiny_v1_config
@@ -107,7 +121,18 @@ def test_pipeline_aot_roundtrip(tmp_path):
     pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.float32)
     ref = pipe(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
     path = str(tmp_path / "v1.aot")
-    pipe.aot_dump(path)
+    try:
+        pipe.aot_dump(path)  # validates the file by re-loading + executing
+    except RuntimeError as e:
+        # known XLA limitation, detected by the validation pass: an
+        # executable restored from the persistent compilation cache
+        # (warm test cache) cannot be re-serialized; the bad file must
+        # have been deleted and the error must say why
+        import os
+
+        assert "persistent" in str(e), e
+        assert not os.path.exists(path)
+        return
 
     # fresh pipeline (fresh process stand-in): load, then the same call
     # must hit the AOT executable, not the jit path
