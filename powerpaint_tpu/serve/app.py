@@ -181,9 +181,20 @@ def make_server(
 
 
 def launch(args) -> int:
+    import os
+    import sys
+
     from powerpaint_tpu.serve.cli import build_pipeline
 
     pipe = build_pipeline(args)
+    aot = getattr(args, "aot_cache", None)
+    if aot and os.path.exists(aot):
+        # serving cold start: first request runs without tracing/compiling
+        try:
+            pipe.aot_load(aot)
+            print(f"aot: loaded {aot}")
+        except Exception as e:
+            print(f"aot: ignoring {aot}: {e}", file=sys.stderr)
     try:
         import gradio  # noqa: F401
 
