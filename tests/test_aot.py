@@ -64,6 +64,44 @@ def test_signature_miss_falls_back(tmp_path):
     )
 
 
+def test_v2_pipeline_aot_roundtrip(tmp_path):
+    """BrushNet pipeline exposes the same aot_dump/aot_load surface."""
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.testing import tiny_v2_config
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)
+    img = np.zeros((64, 64, 3), np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+    ref = pipe(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
+    path = str(tmp_path / "v2.aot")
+    try:
+        pipe.aot_dump(path)
+    except RuntimeError as e:
+        import os
+
+        assert "persistent" in str(e), e
+        assert not os.path.exists(path)
+        return
+    pipe2 = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+    pipe2.aot_load(path)
+    pipe2._generate._jitted = None
+    out = pipe2(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
+    np.testing.assert_array_equal(ref, out)
+
+
 def test_broken_executable_falls_back_to_jit():
     """A loaded executable that crashes at run time (e.g. XLA re-serialized
     a persistent-cache-restored executable) is dropped and the call
