@@ -124,7 +124,7 @@ class AotDispatcher:
     def __init__(self, jitted, n_static_tail: int = 0):
         self._jitted = jitted
         self._n_static = n_static_tail
-        self._entries = []  # [(signature, callable)]
+        self._entries = []  # [[signature, callable, proven_once]]
         self._last_args: Optional[tuple] = None
         self._last_seq = -1
 
@@ -137,14 +137,18 @@ class AotDispatcher:
             dyn, statics = args[:n], args[n:]
             sig = signature(dyn, statics)
             for entry in list(self._entries):
-                stored, exe = entry
+                stored, exe = entry[0], entry[1]
                 if stored == sig:
+                    if entry[2]:  # already proven once — stay async
+                        return exe(*dyn)
                     try:
                         out = exe(*dyn)
-                        # execution is async — force completion HERE so a
-                        # corrupt executable surfaces as this try's error,
-                        # not as a crash at the caller's device fetch
-                        return jax.block_until_ready(out)
+                        # first use of this executable: force completion
+                        # HERE so a corrupt file surfaces as this try's
+                        # error, not as a crash at the caller's fetch
+                        out = jax.block_until_ready(out)
+                        entry[2] = True
+                        return out
                     except Exception:
                         # a serialized executable can be subtly broken
                         # (e.g. XLA:CPU cannot re-serialize an executable
@@ -174,7 +178,7 @@ class AotDispatcher:
 
     def load(self, path: str) -> Tuple:
         sig, exe = load(path)
-        self._entries.append((sig, exe))
+        self._entries.append([sig, exe, False])
         return sig
 
 
@@ -239,5 +243,5 @@ class AotPipelineMixin:
         statics skip compilation entirely (mismatches fall back to jit)."""
         sig, exe = load(path)
         for d in self._aot_dispatchers():
-            d._entries.append((sig, exe))
+            d._entries.append([sig, exe, False])
         return sig

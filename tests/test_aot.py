@@ -116,7 +116,7 @@ def test_broken_executable_falls_back_to_jit():
 
     from powerpaint_tpu.io.aot import signature
 
-    disp._entries.append((signature((x,), ()), boom))
+    disp._entries.append([signature((x,), ()), boom, False])
     out = np.asarray(disp(x))
     np.testing.assert_array_equal(out, ref)
     assert not disp._entries  # bad entry dropped
