@@ -78,7 +78,12 @@ const std::vector<std::string>& byte_table() {
   return t;
 }
 
-// greedy BPE on one word (already byte-remapped, split into unicode chars)
+// greedy BPE on one word (already byte-remapped, split into unicode chars).
+// Round semantics match HF exactly (tokenization_clip.py:417-457): pick the
+// globally lowest-rank bigram, then one left-to-right pass replacing EVERY
+// occurrence of that bigram, then recompute.  (One-at-a-time lowest-rank
+// merging is NOT equivalent in general — merge order within a round differs
+// when a merge creates a lower-ranked pair overlapping a later occurrence.)
 void bpe_word(const Tokenizer& tk, std::vector<std::string> parts,
               std::vector<int32_t>* out) {
   if (parts.empty()) return;
@@ -94,12 +99,27 @@ void bpe_word(const Tokenizer& tk, std::vector<std::string> parts,
       }
     }
     if (best_rank == INT32_MAX) break;
-    parts[best_i] += parts[best_i + 1];
-    parts.erase(parts.begin() + best_i + 1);
+    const std::string first = parts[best_i];
+    const std::string second = parts[best_i + 1];
+    std::vector<std::string> merged;
+    merged.reserve(parts.size());
+    size_t i = 0;
+    while (i < parts.size()) {
+      if (i + 1 < parts.size() && parts[i] == first &&
+          parts[i + 1] == second) {
+        merged.push_back(first + second);
+        i += 2;
+      } else {
+        merged.push_back(parts[i]);
+        ++i;
+      }
+    }
+    parts = std::move(merged);
   }
   for (const auto& p : parts) {
     auto it = tk.vocab.find(p);
-    if (it != tk.vocab.end()) out->push_back(it->second);
+    // unknown -> unk token (HF maps to <|endoftext|>)
+    out->push_back(it != tk.vocab.end() ? it->second : tk.eos);
   }
 }
 
@@ -179,6 +199,54 @@ void ppt_bpe_destroy(void* handle) { delete static_cast<Tokenizer*>(handle); }
 
 // Encode lowercased text into out_ids (caller-allocated, cap out_cap).
 // Returns number of ids written (no bos/eos/padding — Python adds those).
+// Encode ONE already-normalized, already-segmented word (a chunk produced by
+// the CLIP word regex).  Byte-remap + greedy merges + vocab lookup happen
+// here; normalization/segmentation stay in Python where the unicode tables
+// live (text/tokenizer.py::segment_words — HF-identical).
+void encode_word(const Tokenizer& tk, const std::string& word,
+                 std::vector<int32_t>* ids) {
+  // the two special literals survive BPE intact (HF pre-seeded cache)
+  if (word == "<|startoftext|>") {
+    ids->push_back(tk.bos);
+    return;
+  }
+  if (word == "<|endoftext|>") {
+    ids->push_back(tk.eos);
+    return;
+  }
+  const auto& bt = byte_table();
+  std::string remapped;
+  for (unsigned char b : word) remapped += bt[b];
+  std::vector<std::string> parts;
+  size_t i = 0;
+  while (i < remapped.size()) {
+    unsigned char c = remapped[i];
+    size_t len = (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
+    parts.push_back(remapped.substr(i, len));
+    i += len;
+  }
+  bpe_word(tk, std::move(parts), ids);
+}
+
+// Encode pre-segmented words (NUL-separated blob of n_words chunks) into
+// out_ids.  Returns number of ids written (no bos/eos/padding).
+int32_t ppt_bpe_encode_words(void* handle, const char* words_blob,
+                             int32_t n_words, int32_t out_cap,
+                             int32_t* out_ids) {
+  const auto* tk = static_cast<Tokenizer*>(handle);
+  std::vector<int32_t> ids;
+  const char* p = words_blob;
+  for (int32_t w = 0; w < n_words; ++w) {
+    std::string word(p);
+    p += word.size() + 1;
+    encode_word(*tk, word, &ids);
+  }
+  int32_t n = static_cast<int32_t>(ids.size());
+  if (n > out_cap) n = out_cap;
+  std::memcpy(out_ids, ids.data(), n * sizeof(int32_t));
+  return n;
+}
+
 int32_t ppt_bpe_encode(void* handle, const char* text, int32_t out_cap,
                        int32_t* out_ids) {
   const auto* tk = static_cast<Tokenizer*>(handle);
@@ -190,20 +258,8 @@ int32_t ppt_bpe_encode(void* handle, const char* text, int32_t out_cap,
     lowered += c;
   }
   std::vector<int32_t> ids;
-  const auto& bt = byte_table();
   for (const auto& word : split_words(lowered)) {
-    std::vector<std::string> parts;
-    // byte-remap, then split into the remapped UTF-8 chars
-    std::string remapped;
-    for (unsigned char b : word) remapped += bt[b];
-    size_t i = 0;
-    while (i < remapped.size()) {
-      unsigned char c = remapped[i];
-      size_t len = (c < 0x80) ? 1 : (c < 0xE0) ? 2 : (c < 0xF0) ? 3 : 4;
-      parts.push_back(remapped.substr(i, len));
-      i += len;
-    }
-    bpe_word(*tk, std::move(parts), &ids);
+    encode_word(*tk, word, &ids);
   }
   int32_t n = static_cast<int32_t>(ids.size());
   if (n > out_cap) n = out_cap;

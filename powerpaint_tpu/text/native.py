@@ -34,6 +34,14 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    try:
+        lib.ppt_bpe_encode_words.restype = ctypes.c_int32
+        lib.ppt_bpe_encode_words.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+    except AttributeError:  # stale .so predating the word-level ABI
+        return None
     return lib
 
 
@@ -96,8 +104,17 @@ class NativeBPETokenizer:
         return cls(vocab, merges)
 
     def encode_text(self, text: str) -> List[int]:
-        n = _LIB.ppt_bpe_encode(
-            self._handle, text.encode("utf-8"), len(self._buf), self._buf
+        # Normalization + word segmentation happen in Python (HF-identical,
+        # needs unicode category tables — text/tokenizer.py::segment_words);
+        # the hot per-word merge loop runs in C++.
+        from powerpaint_tpu.text.tokenizer import segment_words
+
+        words = segment_words(text)
+        if not words:
+            return []
+        blob = b"\x00".join(w.encode("utf-8") for w in words) + b"\x00"
+        n = _LIB.ppt_bpe_encode_words(
+            self._handle, blob, len(words), len(self._buf), self._buf
         )
         return list(self._buf[:n])
 

@@ -22,20 +22,89 @@ import hashlib
 import json
 import os
 import re
+import unicodedata
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+try:  # the HF pattern needs \p{L}/\p{N}; `regex` ships with transformers
+    import regex as _regex
+
+    _HAVE_REGEX = True
+except ImportError:  # pragma: no cover - regex is a baked-in dependency
+    _regex = re
+    _HAVE_REGEX = False
 
 BOS_ID = 49406
 EOS_ID = 49407
 MAX_LEN = 77
 
 def _clip_word_pattern():
-    # Python re lacks \p classes; equivalent using unicode-aware classes
+    if _HAVE_REGEX:
+        # byte-exact HF CLIPTokenizer pattern (tokenization_clip.py:318-321)
+        return _regex.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+            _regex.IGNORECASE,
+        )
+    # stdlib-re approximation: \w ~ L+N+'_' so letters = [^\W\d_] misses
+    # Nl/No digits and drops '_' entirely — only used if `regex` is absent.
     return re.compile(
-        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+",
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|[^\s\w]+",
         re.IGNORECASE | re.UNICODE,
     )
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_cjk(cp: int) -> bool:
+    # the BasicTokenizer CJK ranges (transformers tokenization_clip.py:215-236)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def clip_normalize(text: str) -> str:
+    """The exact text normalization the reference's tokenizer applies.
+
+    Reference tokenization goes through transformers' slow ``CLIPTokenizer``;
+    without ftfy installed that is ``BasicTokenizer(strip_accents=False,
+    do_split_on_punc=False)`` (tokenization_clip.py:297-304,459-463):
+    control-char strip / whitespace fold, CJK char isolation, NFC, whitespace
+    split, per-token lowercase, single-space join."""
+    out: List[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        if ch.isspace() or unicodedata.category(ch) == "Zs":
+            out.append(" ")
+        elif _is_cjk(cp):
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    text = unicodedata.normalize("NFC", "".join(out))
+    return " ".join(t.lower() for t in text.split())
+
+
+_PAT = _clip_word_pattern()
+
+
+def segment_words(text: str) -> List[str]:
+    """Normalize + split into CLIP word-regex chunks (HF-identical)."""
+    return _PAT.findall(clip_normalize(text))
 
 
 def bytes_to_unicode() -> Dict[int, str]:
@@ -68,8 +137,12 @@ class ClipBPETokenizer:
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        self.pat = _clip_word_pattern()
-        self.cache: Dict[str, str] = {}
+        self.pat = _PAT
+        # HF pre-seeds the cache so the special literals survive BPE intact
+        self.cache: Dict[str, str] = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
         self.bos_id = self.encoder.get("<|startoftext|>", BOS_ID)
         self.eos_id = self.encoder.get("<|endoftext|>", EOS_ID)
 
@@ -138,13 +211,11 @@ class ClipBPETokenizer:
 
     def encode_text(self, text: str) -> List[int]:
         ids: List[int] = []
-        text = _whitespace_clean(text).lower()
-        for token in self.pat.findall(text):
+        for token in segment_words(text):
             token_b = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             for bpe_token in self._bpe(token_b).split(" "):
-                tid = self.encoder.get(bpe_token)
-                if tid is not None:
-                    ids.append(tid)
+                # unknown -> unk token (HF maps to <|endoftext|>)
+                ids.append(self.encoder.get(bpe_token, self.eos_id))
         return ids
 
     def decode_ids(self, ids: Sequence[int]) -> str:
