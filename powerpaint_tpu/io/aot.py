@@ -19,13 +19,22 @@ an AOT cache behaves identically, only faster to first image).
 
 from __future__ import annotations
 
+import json
+import logging
 import pickle
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 
-_MAGIC = "powerpaint-aot-v1"
+logger = logging.getLogger("powerpaint_tpu.aot")
+
+# v2 layout: magic line, 8-byte little-endian JSON-header length, JSON
+# header (validated BEFORE any unpickling — .aot files are trusted local
+# artifacts, but corrupt/mismatched ones must fail at the header, not
+# inside pickle), then the pickled executable payload.
+_MAGIC_LINE = b"PPTAOT2\n"
+_MAGIC = "powerpaint-aot-v2"
 
 
 def _leaf_sig(x: Any) -> Any:
@@ -46,12 +55,17 @@ def signature(dynamic_args: Sequence[Any], statics: Sequence[Any]) -> Tuple:
     return (dyn, tuple(repr(s) for s in statics))
 
 
-def dump(jitted, path: str, *args, n_static_tail: int = 0) -> Tuple:
+def dump(jitted, path: str, *args, n_static_tail: int = 0,
+         mode: str = "") -> Tuple:
     """Lower+compile ``jitted`` for ``args`` and serialize to ``path``.
 
     ``args`` is the FULL argument list (dynamic leading, then
     ``n_static_tail`` static trailing arguments, exactly as the function
-    is invoked).  Returns the stored signature.
+    is invoked).  ``mode`` tags trace-time compute modes that change the
+    program WITHOUT changing any argument shape (quantize/im2col/
+    sequence-parallel) — load() refuses a file whose mode differs, so an
+    int8 run can never silently execute a cached bf16 executable.
+    Returns the stored signature.
     """
     from jax.experimental.serialize_executable import serialize
 
@@ -64,49 +78,81 @@ def dump(jitted, path: str, *args, n_static_tail: int = 0) -> Tuple:
     # deserialize_and_load defaults to every local device, which breaks
     # single-device executables on multi-device hosts.
     spans = [len(s.device_set) for s in jax.tree.leaves(compiled.input_shardings)]
-    payload = {
+    header = json.dumps({
         "magic": _MAGIC,
         "jax_version": jax.__version__,
         "platform": jax.devices()[0].platform,
         "num_devices": max(spans) if spans else 1,
+        "mode": mode,
+    }).encode("utf-8")
+    payload = {
         "signature": sig,
         "in_tree": in_tree,
         "out_tree": out_tree,
         "blob": blob,
     }
     with open(path, "wb") as f:
+        f.write(_MAGIC_LINE)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
         pickle.dump(payload, f)
     return sig
 
 
-def load(path: str):
+def read_header(path: str) -> dict:
+    """Parse + validate the JSON preamble WITHOUT unpickling anything."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC_LINE))
+        if magic != _MAGIC_LINE:
+            raise RuntimeError(
+                f"{path}: not a powerpaint AOT v2 file (legacy v1 files "
+                "must be re-dumped)"
+            )
+        hlen = int.from_bytes(f.read(8), "little")
+        if not 0 < hlen <= 65536:
+            raise RuntimeError(f"{path}: corrupt AOT header")
+        header = json.loads(f.read(hlen).decode("utf-8"))
+    if header.get("magic") != _MAGIC:
+        raise RuntimeError(f"{path}: corrupt AOT header magic")
+    return header
+
+
+def load(path: str, expect_mode: Optional[str] = None):
     """Deserialize an executable; returns ``(signature, callable)``.
 
     The callable takes ONLY the dynamic arguments (statics were baked in
-    at lowering time).  Raises ``RuntimeError`` on topology/version
-    mismatch rather than failing opaquely inside the runtime.
+    at lowering time).  Raises ``RuntimeError`` on topology/version/mode
+    mismatch — all checked against the JSON preamble BEFORE the pickled
+    executable is touched.
     """
     from jax.experimental.serialize_executable import deserialize_and_load
 
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
-    if payload.get("magic") != _MAGIC:
-        raise RuntimeError(f"{path}: not a powerpaint AOT file")
-    if payload["jax_version"] != jax.__version__:
+    header = read_header(path)
+    if header["jax_version"] != jax.__version__:
         raise RuntimeError(
-            f"{path}: built with jax {payload['jax_version']}, "
+            f"{path}: built with jax {header['jax_version']}, "
             f"running {jax.__version__}"
         )
-    if (payload["platform"] != jax.devices()[0].platform
-            or payload["num_devices"] > len(jax.devices())):
+    if (header["platform"] != jax.devices()[0].platform
+            or header["num_devices"] > len(jax.devices())):
         raise RuntimeError(
-            f"{path}: built for {payload['num_devices']}x"
-            f"{payload['platform']}, running {len(jax.devices())}x"
+            f"{path}: built for {header['num_devices']}x"
+            f"{header['platform']}, running {len(jax.devices())}x"
             f"{jax.devices()[0].platform}"
         )
+    if expect_mode is not None and header.get("mode", "") != expect_mode:
+        raise RuntimeError(
+            f"{path}: built in compute mode {header.get('mode', '')!r}, "
+            f"running {expect_mode!r} — executables are mode-specific"
+        )
+    with open(path, "rb") as f:
+        f.seek(len(_MAGIC_LINE))
+        hlen = int.from_bytes(f.read(8), "little")
+        f.seek(hlen, 1)
+        payload = pickle.load(f)
     exe = deserialize_and_load(
         payload["blob"], payload["in_tree"], payload["out_tree"],
-        execution_devices=jax.devices()[: payload["num_devices"]],
+        execution_devices=jax.devices()[: header["num_devices"]],
     )
     return payload["signature"], exe
 
@@ -149,12 +195,20 @@ class AotDispatcher:
                         out = jax.block_until_ready(out)
                         entry[2] = True
                         return out
-                    except Exception:
+                    except Exception as e:
                         # a serialized executable can be subtly broken
                         # (e.g. XLA:CPU cannot re-serialize an executable
                         # it restored from the persistent compile cache:
                         # "Buffer Definition Event: ... not found").
-                        # Drop it and recompile via jit.
+                        # Drop it and recompile via jit — loudly, because
+                        # the fallback is a multi-minute compile the
+                        # operator thought the AOT cache had eliminated.
+                        logger.warning(
+                            "dropping AOT executable (sig=%s): first "
+                            "execution failed with %s: %s — falling back "
+                            "to jit compilation", stored, type(e).__name__,
+                            e,
+                        )
                         self._entries.remove(entry)
         return self._jitted(*args)
 
@@ -162,11 +216,11 @@ class AotDispatcher:
     def __getattr__(self, name):
         return getattr(self._jitted, name)
 
-    def dump(self, path: str, *args) -> Tuple:
+    def dump(self, path: str, *args, mode: str = "") -> Tuple:
         return dump(self._jitted, path, *args,
-                    n_static_tail=self._n_static)
+                    n_static_tail=self._n_static, mode=mode)
 
-    def dump_last(self, path: str) -> Tuple:
+    def dump_last(self, path: str, mode: str = "") -> Tuple:
         """Serialize the executable for the most recent call's signature
         (make one warmup call first — it defines the shapes/statics)."""
         if self._last_args is None:
@@ -174,7 +228,7 @@ class AotDispatcher:
                 "no call recorded yet — invoke the pipeline once with the "
                 "production shapes, then dump"
             )
-        return self.dump(path, *self._last_args)
+        return self.dump(path, *self._last_args, mode=mode)
 
     def load(self, path: str) -> Tuple:
         sig, exe = load(path)
@@ -193,6 +247,19 @@ class AotPipelineMixin:
                         for n in ("_generate", "_generate_cn"))
             if isinstance(d, AotDispatcher)
         ]
+
+    def _aot_mode(self) -> str:
+        """Trace-time compute-mode tag baked into dumped executables and
+        enforced at load.  Captures every knob that changes the compiled
+        program without changing any argument shape/dtype (an int8 or
+        im2col run must never execute a cached bf16 executable)."""
+        import os
+
+        return (
+            f"quant={getattr(self, 'quantize', None)}"
+            f",im2col={os.environ.get('POWERPAINT_CONV_IM2COL', '0')}"
+            f",sp={getattr(self, 'sequence_parallel', False)}"
+        )
 
     def aot_dump(self, path: str, validate: bool = True):
         """Serialize the compiled generate executable for the most recent
@@ -213,7 +280,7 @@ class AotPipelineMixin:
         if not ds:
             raise RuntimeError("call the pipeline once before aot_dump")
         d = max(ds, key=lambda dd: dd._last_seq)
-        sig = d.dump_last(path)
+        sig = d.dump_last(path, mode=self._aot_mode())
         if validate:
             import numpy as np
 
@@ -240,8 +307,9 @@ class AotPipelineMixin:
 
     def aot_load(self, path: str):
         """Load a serialized executable; calls with matching shapes and
-        statics skip compilation entirely (mismatches fall back to jit)."""
-        sig, exe = load(path)
+        statics skip compilation entirely (mismatches fall back to jit).
+        Refuses files dumped under a different compute mode."""
+        sig, exe = load(path, expect_mode=self._aot_mode())
         for d in self._aot_dispatchers():
             d._entries.append([sig, exe, False])
         return sig

@@ -39,9 +39,12 @@ HED_BGR_MEANS = (104.00698793, 116.66876762, 122.67891434)
 class HEDNetwork(nn.Module):
     """HED edge detector (VGG16 + per-stage score convs + fusion conv).
 
-    Input: (B, H, W, 3) float in [0, 1], BGR channel order (the published
-    checkpoint is Caffe-trained on BGR).  Output: (B, H, W, 1) edge
-    probability in [0, 1].
+    Input: (B, H, W, 3) float in [0, 1], RGB channel order — matching the
+    reference deployment (controlnet_aux HEDdetector), which feeds RGB into
+    the Caffe-trained network and subtracts the stored BGR-ordered means
+    anyway.  sd-controlnet-hed was trained on edge maps produced exactly
+    this way, so the "wrong" channel order is the parity-correct one.
+    Output: (B, H, W, 1) edge probability in [0, 1].
     """
 
     dtype: jnp.dtype = jnp.float32

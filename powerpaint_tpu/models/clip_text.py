@@ -88,7 +88,12 @@ class CLIPTextModel(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray,
+                 clip_skip: int = 0) -> jnp.ndarray:
+        """``clip_skip`` (static): skip the last N encoder layers and apply
+        the final LayerNorm to that earlier hidden state — exactly HF's
+        ``hidden_states[-(clip_skip+1)]`` + final LN semantics (reference
+        pipeline_PowerPaint_Brushnet_CA.py:537-553)."""
         cfg = self.config
         b, s = input_ids.shape
 
@@ -118,10 +123,15 @@ class CLIPTextModel(nn.Module):
             jnp.full((s, s), -1e9, dtype=jnp.float32), k=1
         )[None, None]
 
+        out = None
         for i in range(cfg.num_hidden_layers):
+            if i == cfg.num_hidden_layers - clip_skip:
+                out = x
+            # later layers still run (their params must exist for loading)
+            # but are dead code XLA eliminates when clip_skip > 0
             x = CLIPEncoderLayer(cfg, self.dtype, self.param_dtype,
                                  name=f"layers_{i}")(x, causal)
-
-        x = LayerNorm(cfg.layer_norm_eps, self.param_dtype,
-                      name="final_layer_norm")(x)
-        return x
+        if out is None:
+            out = x
+        return LayerNorm(cfg.layer_norm_eps, self.param_dtype,
+                         name="final_layer_norm")(out)

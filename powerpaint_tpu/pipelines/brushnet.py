@@ -39,10 +39,11 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class BrushNetPipeline(AotPipelineMixin):
+class BrushNetPipeline(AotPipelineMixin, LoraMixin):
     config: PowerPaintConfig
     params: dict  # unet, vae, brushnet, text_encoder (plain),
     #               text_encoder_brushnet (task tokens)
@@ -90,7 +91,7 @@ class BrushNetPipeline(AotPipelineMixin):
                 lambda p, x: enc.apply({"params": p}, x)
             )
         statics = ("num_steps", "out_uint8", "guess_mode",
-                   "branch_cache_interval")
+                   "branch_cache_interval", "clip_skip", "with_callback")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -105,13 +106,14 @@ class BrushNetPipeline(AotPipelineMixin):
             repl = NamedSharding(self.mesh, P())
             # args: params, ids_task, ids_plain, tradoff, tradoff_nag,
             #       image_u8, mask_u8, guidance, cond_scale_table, seeds,
-            #       latents, ip_embeds, ip_scale
+            #       latents, pos_t_embeds, neg_t_embeds, ip_embeds, ip_scale
             if self.sequence_parallel:
                 rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 self._generate = jax.jit(
                     self._generate_fn_sp, static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, repl, rows,
-                                  rows, repl, repl, repl, None, None, None),
+                                  rows, repl, repl, repl, None, None, None,
+                                  None, None),
                     out_shardings=rows,
                 )
             else:
@@ -119,14 +121,17 @@ class BrushNetPipeline(AotPipelineMixin):
                     self._generate_fn, static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, repl, batch,
                                   batch, repl, repl, batch, None, None,
-                                  None),
+                                  None, None, None),
                     out_shardings=batch,
                 )
         else:
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics
             )
-        self._generate = AotDispatcher(self._generate, n_static_tail=4)
+        self._generate = AotDispatcher(self._generate, n_static_tail=6)
+        # per-call step callback slot (see pipelines/inpaint.py)
+        self._active_callback = None
+        self._active_callback_steps = 1
 
     def _generate_fn_sp(
         self,
@@ -141,12 +146,16 @@ class BrushNetPipeline(AotPipelineMixin):
         cond_scale_table: jnp.ndarray,
         seeds: jnp.ndarray,
         latents_in: Optional[jnp.ndarray],
+        pos_t_in: Optional[jnp.ndarray],
+        neg_t_in: Optional[jnp.ndarray],
         ip_embeds: Optional[jnp.ndarray],
         ip_scale: jnp.ndarray,
         num_steps: int,
         out_uint8: bool = True,
         guess_mode: bool = False,
         branch_cache_interval: int = 1,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         """Sequence-parallel generate: same math as ``_generate_fn`` with
         ring attention enabled at trace time (see pipelines/inpaint.py)."""
@@ -156,8 +165,9 @@ class BrushNetPipeline(AotPipelineMixin):
             return self._generate_fn(
                 params, ids_task, ids_plain, tradoff, tradoff_nag,
                 image_u8, mask_u8, guidance_scale, cond_scale_table, seeds,
-                latents_in, ip_embeds, ip_scale, num_steps, out_uint8,
-                guess_mode, branch_cache_interval,
+                latents_in, pos_t_in, neg_t_in, ip_embeds, ip_scale,
+                num_steps, out_uint8, guess_mode, branch_cache_interval,
+                clip_skip, with_callback,
             )
 
     def _generate_fn(
@@ -173,12 +183,16 @@ class BrushNetPipeline(AotPipelineMixin):
         cond_scale_table: jnp.ndarray,  # (S,) brushnet scale per step
         seeds: jnp.ndarray,  # (B,) int32 per-image noise seeds
         latents_in: Optional[jnp.ndarray],
+        pos_t_in: Optional[jnp.ndarray],  # (B|1, 77, D) task-blend override
+        neg_t_in: Optional[jnp.ndarray],
         ip_embeds: Optional[jnp.ndarray],  # (2B, ip_dim) [uncond | cond]
         ip_scale: jnp.ndarray,
         num_steps: int,
         out_uint8: bool = True,
         guess_mode: bool = False,
         branch_cache_interval: int = 1,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         # device-side prep (uint8 boundary): pixel-space pre-mask
         # (app.py:342-345) and keep-mask channel
@@ -204,14 +218,27 @@ class BrushNetPipeline(AotPipelineMixin):
         tn = jnp.reshape(tradoff_nag, (-1, 1, 1))
         pos_t = emb_task[:, 0] * t + (1.0 - t) * emb_task[:, 1]
         neg_t = emb_task[:, 2] * tn + (1.0 - tn) * emb_task[:, 3]
+        # precomputed-embedding passthrough: the reference's prompt_embeds/
+        # negative_prompt_embeds feed THIS (task-blended) pair
+        # (pipeline_PowerPaint_Brushnet_CA.py:1252-1264); the unused encode
+        # above becomes dead code XLA eliminates
+        if pos_t_in is not None:
+            pos_t = pos_t_in.astype(pos_t.dtype)
+        if neg_t_in is not None:
+            neg_t = neg_t_in.astype(neg_t.dtype)
+        # clip_skip applies to the plain-U encoder (the reference's
+        # encode_prompt surface, :452,537-553)
         emb_plain = self.text_plain.apply(
             {"params": params["text_encoder"]},
             ids_plain.reshape(P * 2, ids_plain.shape[-1]),
+            clip_skip=clip_skip,
         ).reshape(P, 2, ids_plain.shape[-1], -1)
         eU, nU = emb_plain[:, 0], emb_plain[:, 1]
-        if P != b:  # single prompt, many images
-            pos_t = jnp.repeat(pos_t, b // P, 0)
-            neg_t = jnp.repeat(neg_t, b // P, 0)
+        if pos_t.shape[0] != b:  # single prompt, many images
+            pos_t = jnp.repeat(pos_t, b // pos_t.shape[0], 0)
+        if neg_t.shape[0] != b:
+            neg_t = jnp.repeat(neg_t, b // neg_t.shape[0], 0)
+        if P != b:
             eU = jnp.repeat(eU, b // P, 0)
             nU = jnp.repeat(nU, b // P, 0)
         cond_task = jnp.concatenate([neg_t, pos_t], axis=0)
@@ -328,6 +355,8 @@ class BrushNetPipeline(AotPipelineMixin):
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
+            if with_callback:
+                jax.debug.callback(self._run_step_callback, i, latents)
             latents, state = unipc.step(sched, state, eps, i, latents)
             return (latents, state, cache), None
 
@@ -347,6 +376,16 @@ class BrushNetPipeline(AotPipelineMixin):
         return image.astype(jnp.float32)
 
     # ----------------------------------------------------------------- host
+
+    def _run_step_callback(self, i, latents):
+        """Host trampoline behind ``jax.debug.callback`` (observation-only
+        analog of the reference's per-call ``callback`` /
+        ``callback_on_step_end``, :1451-1466; latent mutation from a
+        callback is not supported — it would force a host round-trip into
+        the compiled scan)."""
+        cb = self._active_callback
+        if cb is not None and int(i) % self._active_callback_steps == 0:
+            cb(int(i), latents)
 
     def __call__(
         self,
@@ -370,6 +409,11 @@ class BrushNetPipeline(AotPipelineMixin):
         ip_adapter_image_embeds: Optional[np.ndarray] = None,
         ip_adapter_scale: float = 1.0,
         output_type: str = "uint8",
+        clip_skip: int = 0,
+        prompt_embeds: Optional[np.ndarray] = None,
+        negative_prompt_embeds: Optional[np.ndarray] = None,
+        callback=None,
+        callback_steps: int = 1,
     ):
         """``ip_adapter_image_embeds``: raw CLIP image embeds, shape
         (ip_adapter_dim,) or (B, ip_adapter_dim) — the reference's
@@ -528,6 +572,15 @@ class BrushNetPipeline(AotPipelineMixin):
                      + np.arange(b, dtype=np.int64)).astype(np.int32)
         assert seeds.shape == (b,), (seeds.shape, b)
 
+        def norm_embeds(e):
+            if e is None:
+                return None
+            e = np.asarray(e, np.float32)
+            return e[None] if e.ndim == 2 else e
+
+        self._active_callback = callback
+        self._active_callback_steps = max(1, int(callback_steps))
+
         out = self._generate(
             self.params,
             jnp.asarray(ids_task if multi else ids_task[0]),
@@ -543,11 +596,15 @@ class BrushNetPipeline(AotPipelineMixin):
             jnp.asarray(cond_scale_table),
             jnp.asarray(seeds),
             None if latents is None else jnp.asarray(latents),
+            norm_embeds(prompt_embeds),
+            norm_embeds(negative_prompt_embeds),
             ip_embeds,
             jnp.float32(ip_adapter_scale),
             num_inference_steps,
             output_type == "uint8",
             guess_mode,
             int(branch_cache_interval),
+            int(clip_skip),
+            callback is not None,
         )
         return np.asarray(out)

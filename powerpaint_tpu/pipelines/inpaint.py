@@ -34,10 +34,11 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class InpaintPipeline(AotPipelineMixin):
+class InpaintPipeline(AotPipelineMixin, LoraMixin):
     config: PowerPaintConfig
     params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
     tokenizer: TokenizerWrapper
@@ -90,7 +91,8 @@ class InpaintPipeline(AotPipelineMixin):
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
             statics = ("num_steps", "strength_steps", "out_uint8", "eta",
-                       "sampler", "encoder_cache_interval")
+                       "sampler", "encoder_cache_interval", "clip_skip",
+                       "with_callback")
             if self.sequence_parallel:
                 # latent ROWS over the data axis; batch stays whole
                 rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
@@ -98,32 +100,45 @@ class InpaintPipeline(AotPipelineMixin):
                     self._generate_fn_sp,
                     static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, rows, rows,
-                                  repl, repl, None),
+                                  repl, repl, None, None, None),
                     out_shardings=rows,
                 )
             else:
                 # args: params, ids, tradoff, tradoff_nag, image_u8,
-                #       mask_u8, guidance, seeds, latents
+                #       mask_u8, guidance, seeds, latents, pos_embeds,
+                #       neg_embeds
                 self._generate = jax.jit(
                     self._generate_fn,
                     static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, batch, batch,
-                                  repl, batch, None),
+                                  repl, batch, None, None, None),
                     out_shardings=batch,
                 )
         else:
             self._generate = jax.jit(
                 self._generate_fn,
                 static_argnames=("num_steps", "strength_steps", "out_uint8",
-                                 "eta", "sampler",
-                                 "encoder_cache_interval"),
+                                 "eta", "sampler", "encoder_cache_interval",
+                                 "clip_skip", "with_callback"),
             )
-        self._generate = AotDispatcher(self._generate, n_static_tail=6)
+        self._generate = AotDispatcher(self._generate, n_static_tail=8)
+        # per-call step callback slot (read at RUNTIME by the traced
+        # trampoline — swapping it never retraces)
+        self._active_callback = self.step_callback
+        self._active_callback_steps = 1
 
     # ------------------------------------------------------------------ jit
 
-    def _encode_text(self, params, ids):
-        return self.text_encoder.apply({"params": params}, ids)
+    def _encode_text(self, params, ids, clip_skip: int = 0):
+        return self.text_encoder.apply({"params": params}, ids,
+                                       clip_skip=clip_skip)
+
+    def _run_step_callback(self, i, latents):
+        """Host-side trampoline behind ``jax.debug.callback`` — reads the
+        CURRENT per-call callback, so changing it never retraces."""
+        cb = self._active_callback
+        if cb is not None and int(i) % self._active_callback_steps == 0:
+            cb(int(i), latents)
 
     def _denoise_loop(
         self,
@@ -142,6 +157,7 @@ class InpaintPipeline(AotPipelineMixin):
         eta: float = 0.0,
         eta_rng: Optional[jax.Array] = None,
         encoder_cache_interval: int = 1,
+        with_callback: bool = False,
     ) -> jnp.ndarray:
         unet_params = params["unet"]
         is_9ch = self.config.unet.in_channels == 9
@@ -202,8 +218,8 @@ class InpaintPipeline(AotPipelineMixin):
             eps = eps.astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
-            if self.step_callback is not None:
-                jax.debug.callback(self.step_callback, i, latents)
+            if with_callback:
+                jax.debug.callback(self._run_step_callback, i, latents)
             if mod is ddim and eta > 0.0 and eta_rng is not None:
                 step_noise = jax.random.normal(
                     jax.random.fold_in(eta_rng, i), latents.shape, jnp.float32
@@ -243,12 +259,16 @@ class InpaintPipeline(AotPipelineMixin):
         guidance_scale: jnp.ndarray,
         seeds: jnp.ndarray,
         latents_in: Optional[jnp.ndarray],
+        pos_embeds_in: Optional[jnp.ndarray],
+        neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
         out_uint8: bool = True,
         eta: float = 0.0,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         """Sequence-parallel generate: same math as ``_generate_fn``, with
         ring attention enabled for long self-attention at trace time."""
@@ -257,9 +277,9 @@ class InpaintPipeline(AotPipelineMixin):
         with ring_context(self.mesh, min_seq=self.sp_min_seq):
             return self._generate_fn(
                 params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
-                guidance_scale, seeds, latents_in, num_steps,
-                strength_steps, out_uint8, eta, sampler,
-                encoder_cache_interval,
+                guidance_scale, seeds, latents_in, pos_embeds_in,
+                neg_embeds_in, num_steps, strength_steps, out_uint8, eta,
+                sampler, encoder_cache_interval, clip_skip, with_callback,
             )
 
     def _generate_fn(
@@ -273,12 +293,16 @@ class InpaintPipeline(AotPipelineMixin):
         guidance_scale: jnp.ndarray,  # scalar or (B,)
         seeds: jnp.ndarray,  # (B,) int32 — per-image noise seeds
         latents_in: Optional[jnp.ndarray],
+        pos_embeds_in: Optional[jnp.ndarray],  # (B|1, 77, D) passthrough
+        neg_embeds_in: Optional[jnp.ndarray],  # (B|1, 77, D) passthrough
         num_steps: int,
         strength_steps: int,
         out_uint8: bool = True,
         eta: float = 0.0,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         # uint8 at the host<->device boundary: 4x less transfer than fp32
         # and the masked image is derived on device instead of shipped
@@ -300,15 +324,24 @@ class InpaintPipeline(AotPipelineMixin):
             ids = ids[None]
         P = ids.shape[0]
         embeds = self._encode_text(
-            params["text_encoder"], ids.reshape(P * 4, ids.shape[-1])
+            params["text_encoder"], ids.reshape(P * 4, ids.shape[-1]),
+            clip_skip,
         ).reshape(P, 4, ids.shape[-1], -1)
         t = jnp.reshape(tradoff, (-1, 1, 1))
         tn = jnp.reshape(tradoff_nag, (-1, 1, 1))
         pos = embeds[:, 0] * t + (1.0 - t) * embeds[:, 1]
         neg = embeds[:, 2] * tn + (1.0 - tn) * embeds[:, 3]
-        if P != b:  # single prompt, many images
-            pos = jnp.repeat(pos, b // P, 0)
-            neg = jnp.repeat(neg, b // P, 0)
+        # precomputed-embedding passthrough (reference prompt_embeds /
+        # negative_prompt_embeds, pipeline_PowerPaint.py:742-743) — the
+        # unused encode above becomes dead code XLA eliminates
+        if pos_embeds_in is not None:
+            pos = pos_embeds_in.astype(pos.dtype)
+        if neg_embeds_in is not None:
+            neg = neg_embeds_in.astype(neg.dtype)
+        if pos.shape[0] != b:  # single prompt, many images
+            pos = jnp.repeat(pos, b // pos.shape[0], 0)
+        if neg.shape[0] != b:
+            neg = jnp.repeat(neg, b // neg.shape[0], 0)
         cond = jnp.concatenate([neg, pos], axis=0)
         guidance_scale = jnp.reshape(guidance_scale, (-1, 1, 1, 1))
 
@@ -361,6 +394,7 @@ class InpaintPipeline(AotPipelineMixin):
             guidance_scale, image_latents=image_latents, known_mask=mask_lat,
             noise=noise, eta=eta, eta_rng=rng_eta,
             encoder_cache_interval=encoder_cache_interval,
+            with_callback=with_callback,
         )
 
         z = (latents / self.config.vae.scaling_factor).astype(self.dtype)
@@ -412,6 +446,11 @@ class InpaintPipeline(AotPipelineMixin):
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
         encoder_cache_interval: int = 1,
+        clip_skip: int = 0,
+        prompt_embeds: Optional[np.ndarray] = None,
+        negative_prompt_embeds: Optional[np.ndarray] = None,
+        callback=None,
+        callback_steps: int = 1,
     ):
         """Full inpainting call (reference __call__ surface,
         pipeline_PowerPaint.py:978-1071 + app.py predict routing).
@@ -509,6 +548,21 @@ class InpaintPipeline(AotPipelineMixin):
             int(num_inference_steps * strength), num_inference_steps
         )
         out_uint8 = output_type == "uint8"
+
+        def norm_embeds(e):
+            if e is None:
+                return None
+            e = np.asarray(e, np.float32)
+            return e[None] if e.ndim == 2 else e
+
+        # per-call callback (reference `callback`/`callback_steps`,
+        # pipeline_PowerPaint.py:746,1039): observation-only — a host
+        # trampoline reads the current callback at runtime, so only the
+        # with/without-callback distinction recompiles (two variants max)
+        self._active_callback = callback or self.step_callback
+        self._active_callback_steps = max(1, int(callback_steps))
+        with_cb = self._active_callback is not None
+
         _telemetry.reset_stages()
         with _telemetry.stage("generate"):
             out = self._generate(
@@ -524,12 +578,16 @@ class InpaintPipeline(AotPipelineMixin):
                             if multi else np.float32(guidances[0])),
                 jnp.asarray(seeds),
                 None if latents is None else jnp.asarray(latents),
+                norm_embeds(prompt_embeds),
+                norm_embeds(negative_prompt_embeds),
                 num_inference_steps,
                 strength_steps,
                 out_uint8,
                 float(eta),
                 scheduler,
                 int(encoder_cache_interval),
+                int(clip_skip),
+                with_cb,
             )
             out = np.asarray(out)
         _telemetry.count("images", out.shape[0])

@@ -109,13 +109,27 @@ class _BatchedPipe:
 
 
 def make_server(
-    pipe, port: int = 7860, micro_batch: int = 0
+    pipe, port: int = 7860, micro_batch: int = 0, on_first_success=None
 ) -> ThreadingHTTPServer:
     """``micro_batch`` > 1 coalesces concurrent /inpaint requests into one
     batched generate (both v1 and v2 pipelines expose the multi-request
     form; requests with per-call-only features — eta>0, control images,
     IP-Adapter inputs — run alone)."""
     lock = threading.Lock()
+    first_done = [on_first_success is None]
+
+    def _maybe_first_hook():
+        with lock:
+            if first_done[0]:
+                return
+            first_done[0] = True
+        try:
+            on_first_success()
+        except Exception as e:  # never fail the request for a cache dump
+            import sys
+
+            print(f"aot: post-request hook failed: {e}", file=sys.stderr)
+
     if micro_batch > 1:
         from powerpaint_tpu.serve.batcher import MicroBatcher
 
@@ -155,6 +169,7 @@ def make_server(
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n))
                 png = run(payload)
+                _maybe_first_hook()
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))
@@ -188,10 +203,12 @@ def launch(args) -> int:
 
     pipe = build_pipeline(args)
     aot = getattr(args, "aot_cache", None)
+    aot_loaded = False
     if aot and os.path.exists(aot):
         # serving cold start: first request runs without tracing/compiling
         try:
             pipe.aot_load(aot)
+            aot_loaded = True
             print(f"aot: loaded {aot}")
         except Exception as e:
             print(f"aot: ignoring {aot}: {e}", file=sys.stderr)
@@ -202,7 +219,15 @@ def launch(args) -> int:
     except ImportError:
         pass
     micro = getattr(args, "micro_batch", 0)
-    server = make_server(pipe, args.port, micro_batch=micro)
+    on_first = None
+    if aot and not aot_loaded:
+        # --aot-cache promises "else dump it there after the first call":
+        # populate the cache from the first served request's executable
+        def on_first():
+            pipe.aot_dump(aot)
+            print(f"aot: dumped {aot}")
+    server = make_server(pipe, args.port, micro_batch=micro,
+                         on_first_success=on_first)
     print(f"serving on http://0.0.0.0:{args.port} (POST /inpaint, "
           f"micro_batch={micro})")
     try:

@@ -168,7 +168,12 @@ class HEDPreprocessor:
         h, w = _fit_resolution(h0, w0, self.detect_resolution)
         interp = cv2.INTER_AREA if h <= h0 else cv2.INTER_LANCZOS4
         scaled = cv2.resize(image, (w, h), interpolation=interp)
-        x = scaled[:, :, ::-1].astype(np.float32)[None] / 255.0
+        # Deliberately NO RGB->BGR flip: controlnet_aux's HEDdetector (the
+        # reference's preprocessor, app.py:9,433) feeds the RGB image
+        # straight into the Caffe-trained network whose stored means are
+        # BGR-ordered — sd-controlnet-hed was trained on THOSE edge maps,
+        # so conditioning parity requires reproducing the idiosyncrasy.
+        x = scaled.astype(np.float32)[None] / 255.0
         edge = np.asarray(self._apply(self.params, x)[0, :, :, 0], np.float32)
         if self.safe:
             edge = safe_step(edge)

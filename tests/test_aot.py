@@ -123,18 +123,50 @@ def test_broken_executable_falls_back_to_jit():
 
 
 def test_version_guard(tmp_path):
+    """Header checks happen BEFORE any unpickling (ADVICE round 2): the
+    JSON preamble carries version/platform/mode; tampering with it fails
+    fast and a truncated/garbage file fails at the magic, not in pickle."""
+    import json
+
+    from powerpaint_tpu.io.aot import _MAGIC_LINE, read_header
+
     jitted = jax.jit(lambda x: x + 1)
     path = str(tmp_path / "v.aot")
     dump(jitted, path, jnp.ones((4,)))
-    import pickle
 
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    payload["jax_version"] = "0.0.0"
+        raw = f.read()
+    hlen = int.from_bytes(raw[len(_MAGIC_LINE):len(_MAGIC_LINE) + 8],
+                          "little")
+    header = json.loads(raw[len(_MAGIC_LINE) + 8:len(_MAGIC_LINE) + 8 + hlen])
+    header["jax_version"] = "0.0.0"
+    blob = json.dumps(header).encode()
     with open(path, "wb") as f:
-        pickle.dump(payload, f)
+        f.write(_MAGIC_LINE)
+        f.write(len(blob).to_bytes(8, "little"))
+        f.write(blob)
+        f.write(raw[len(_MAGIC_LINE) + 8 + hlen:])
     with pytest.raises(RuntimeError, match="built with jax"):
         load(path)
+
+    # not-an-aot-file rejected at the magic line, never unpickled
+    bad = str(tmp_path / "bad.aot")
+    with open(bad, "wb") as f:
+        f.write(b"garbage not a pickle")
+    with pytest.raises(RuntimeError, match="not a powerpaint AOT"):
+        read_header(bad)
+
+
+def test_mode_guard(tmp_path):
+    """A file dumped under one compute mode refuses to load under another
+    (the int8-executes-cached-bf16 hazard, ADVICE round 2)."""
+    jitted = jax.jit(lambda x: x * 2)
+    path = str(tmp_path / "m.aot")
+    dump(jitted, path, jnp.ones((4,)), mode="quant=None,im2col=0,sp=False")
+    sig, exe = load(path, expect_mode="quant=None,im2col=0,sp=False")
+    assert exe is not None
+    with pytest.raises(RuntimeError, match="compute mode"):
+        load(path, expect_mode="quant=int8,im2col=0,sp=False")
 
 
 def test_pipeline_aot_roundtrip(tmp_path):
