@@ -54,7 +54,7 @@ class ControlNetPipeline(InpaintPipeline):
 
             self.controlnet = int8.quantize_module(self.controlnet)
         statics = ("num_steps", "strength_steps", "out_uint8", "eta",
-                   "sampler", "guess_mode")
+                   "sampler", "guess_mode", "clip_skip", "with_callback")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -72,28 +72,30 @@ class ControlNetPipeline(InpaintPipeline):
             repl = NamedSharding(self.mesh, P())
             # args: params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
             #       control_u8 (N,B,...), guidance, cond_scale_table (S,N),
-            #       rng, latents
+            #       seeds, latents, pos_embeds, neg_embeds
             if self.sequence_parallel:
                 rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 nrows = NamedSharding(self.mesh, P(None, None, DATA_AXIS))
                 self._generate_cn = jax.jit(
                     self._generate_cn_fn_sp, static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, rows, rows,
-                                  nrows, repl, repl, repl, None),
+                                  nrows, repl, repl, repl, None, None,
+                                  None),
                     out_shardings=rows,
                 )
             else:
                 self._generate_cn = jax.jit(
                     self._generate_cn_fn, static_argnames=statics,
                     in_shardings=(p_shard, repl, repl, repl, batch, batch,
-                                  nbatch, repl, repl, repl, None),
+                                  nbatch, repl, repl, batch, None, None,
+                                  None),
                     out_shardings=batch,
                 )
         else:
             self._generate_cn = jax.jit(
                 self._generate_cn_fn, static_argnames=statics
             )
-        self._generate_cn = AotDispatcher(self._generate_cn, n_static_tail=6)
+        self._generate_cn = AotDispatcher(self._generate_cn, n_static_tail=8)
 
     def _generate_cn_fn_sp(
         self,
@@ -106,14 +108,18 @@ class ControlNetPipeline(InpaintPipeline):
         control_u8: jnp.ndarray,
         guidance_scale: jnp.ndarray,
         cond_scale_table: jnp.ndarray,
-        rng: jax.Array,
+        seeds: jnp.ndarray,
         latents_in: Optional[jnp.ndarray],
+        pos_embeds_in: Optional[jnp.ndarray],
+        neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
         out_uint8: bool = True,
         eta: float = 0.0,
         sampler: str = "ddim",
         guess_mode: bool = False,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         """Sequence-parallel generate: same math as ``_generate_cn_fn``
         with ring attention enabled at trace time (pipelines/inpaint.py)."""
@@ -122,30 +128,35 @@ class ControlNetPipeline(InpaintPipeline):
         with ring_context(self.mesh, min_seq=self.sp_min_seq):
             return self._generate_cn_fn(
                 params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
-                control_u8, guidance_scale, cond_scale_table, rng,
-                latents_in, num_steps, strength_steps, out_uint8, eta,
-                sampler, guess_mode,
+                control_u8, guidance_scale, cond_scale_table, seeds,
+                latents_in, pos_embeds_in, neg_embeds_in, num_steps,
+                strength_steps, out_uint8, eta, sampler, guess_mode,
+                clip_skip, with_callback,
             )
 
     def _generate_cn_fn(
         self,
         params,
-        ids: jnp.ndarray,  # (4, 77)
-        tradoff: jnp.ndarray,
-        tradoff_nag: jnp.ndarray,
+        ids: jnp.ndarray,  # (P, 4, 77) [A, B, negA, negB] per prompt
+        tradoff: jnp.ndarray,  # scalar or (P,)
+        tradoff_nag: jnp.ndarray,  # scalar or (P,)
         image_u8: jnp.ndarray,  # (B, H, W, 3) uint8
         mask_u8: jnp.ndarray,  # (B, H, W, 1) uint8, 255 = hole
         control_u8: jnp.ndarray,  # (N, B, H, W, 3) uint8, one per branch
-        guidance_scale: jnp.ndarray,
+        guidance_scale: jnp.ndarray,  # scalar or (B,)
         cond_scale_table: jnp.ndarray,  # (S, N) per-step per-branch scale
-        rng: jax.Array,
+        seeds: jnp.ndarray,  # (B,) int32 — per-image noise seeds
         latents_in: Optional[jnp.ndarray],
+        pos_embeds_in: Optional[jnp.ndarray],
+        neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
         out_uint8: bool = True,
         eta: float = 0.0,
         sampler: str = "ddim",
         guess_mode: bool = False,
+        clip_skip: int = 0,
+        with_callback: bool = False,
     ):
         init_image = image_u8.astype(jnp.float32) / 127.5 - 1.0
         mask = (mask_u8 >= 128).astype(jnp.float32)
@@ -159,30 +170,67 @@ class ControlNetPipeline(InpaintPipeline):
         branches = params["controlnet"]
         n_branches = len(branches)
 
-        embeds = self._encode_text(params["text_encoder"], ids)
-        eA, eB, nA, nB = jnp.split(embeds, 4, axis=0)
-        pos = eA * tradoff + (1.0 - tradoff) * eB
-        neg = nA * tradoff_nag + (1.0 - tradoff_nag) * nB
-        cond = jnp.concatenate(
-            [jnp.repeat(neg, b, 0), jnp.repeat(pos, b, 0)], axis=0
-        )
+        # --- text (P prompts, same contract as pipelines/inpaint.py) ---
+        if ids.ndim == 2:
+            ids = ids[None]
+        P = ids.shape[0]
+        embeds = self._encode_text(
+            params["text_encoder"], ids.reshape(P * 4, ids.shape[-1]),
+            clip_skip,
+        ).reshape(P, 4, ids.shape[-1], -1)
+        t = jnp.reshape(tradoff, (-1, 1, 1))
+        tn = jnp.reshape(tradoff_nag, (-1, 1, 1))
+        pos = embeds[:, 0] * t + (1.0 - t) * embeds[:, 1]
+        neg = embeds[:, 2] * tn + (1.0 - tn) * embeds[:, 3]
+        if pos_embeds_in is not None:
+            pos = pos_embeds_in.astype(pos.dtype)
+        if neg_embeds_in is not None:
+            neg = neg_embeds_in.astype(neg.dtype)
+        if pos.shape[0] != b:
+            pos = jnp.repeat(pos, b // pos.shape[0], 0)
+        if neg.shape[0] != b:
+            neg = jnp.repeat(neg, b // neg.shape[0], 0)
+        cond = jnp.concatenate([neg, pos], axis=0)
+        guidance_scale = jnp.reshape(guidance_scale, (-1, 1, 1, 1))
 
-        rng_noise, rng_vae, rng_img, rng_eta = jax.random.split(rng, 4)
-        masked_lat = self.vae.apply(
-            {"params": params["vae"]}, masked_image, rng_vae, method="sample"
-        ).astype(jnp.float32)
+        # --- per-image rng: batched == standalone, the v1 contract
+        # (pipelines/inpaint.py:317-345) ---
+        keys = jax.vmap(jax.random.PRNGKey)(seeds)
+
+        def img_keys(k):
+            return (jax.random.fold_in(k, 0), jax.random.fold_in(k, 1),
+                    jax.random.fold_in(k, 2))
+
+        k_noise, k_vae, k_img = jax.vmap(img_keys)(keys)
+        rng_eta = jax.random.PRNGKey(0)  # unused unless eta > 0
+        if eta > 0.0:
+            rng_eta = jax.random.fold_in(keys[0], 3)
+
+        def vae_sample(images, ks):
+            moments = self.vae.apply(
+                {"params": params["vae"]}, images, method="encode"
+            )
+            mean, logvar = moments
+            std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+            vnoise = jax.vmap(
+                lambda k: jax.random.normal(k, mean.shape[1:], jnp.float32)
+            )(ks)
+            z = mean.astype(jnp.float32) + std * vnoise
+            return z * self.config.vae.scaling_factor
+
+        masked_lat = vae_sample(masked_image, k_vae)
         mask_lat = jax.image.resize(mask, (b, h8, w8, 1), method="nearest")
         mask_lat2 = jnp.concatenate([mask_lat, mask_lat], axis=0)
         masked_lat2 = jnp.concatenate([masked_lat, masked_lat], axis=0)
         control2 = jnp.concatenate([control, control], axis=1)  # (N, 2B, ...)
 
-        noise = jax.random.normal(rng_noise, (b, h8, w8, 4), jnp.float32)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (h8, w8, 4), jnp.float32)
+        )(k_noise)
         if latents_in is not None:
             latents = latents_in * sched.init_noise_sigma
         elif strength_steps < num_steps:
-            image_latents = self.vae.apply(
-                {"params": params["vae"]}, init_image, rng_img, method="sample"
-            ).astype(jnp.float32)
+            image_latents = vae_sample(init_image, k_img)
             latents = mod.add_noise_at(sched, image_latents, noise, 0)
         else:
             latents = noise * sched.init_noise_sigma
@@ -227,6 +275,8 @@ class ControlNetPipeline(InpaintPipeline):
             ).astype(jnp.float32)
             eps_u, eps_t = eps[:b], eps[b:]
             eps = eps_u + guidance_scale * (eps_t - eps_u)
+            if with_callback:
+                jax.debug.callback(self._run_step_callback, i, latents)
             if mod is ddim and eta > 0.0:
                 step_noise = jax.random.normal(
                     jax.random.fold_in(rng_eta, i), latents.shape, jnp.float32
@@ -256,24 +306,30 @@ class ControlNetPipeline(InpaintPipeline):
         self,
         image,
         mask,
-        control_image=None,  # one image or a list (one per branch)
-        prompt: str = "",
-        negative_prompt: str = "",
+        control_image=None,  # one image, a list (one per branch), or a
+        #                      per-request list of those (multi form)
+        prompt="",
+        negative_prompt="",
         task: str = "text-guided",
-        fitting_degree: float = 1.0,
+        fitting_degree=1.0,
         num_inference_steps: int = 45,
-        guidance_scale: float = 7.5,
+        guidance_scale=7.5,
         controlnet_conditioning_scale=1.0,  # float or per-branch list
         control_guidance_start=0.0,  # float or per-branch list
         control_guidance_end=1.0,  # float or per-branch list
         strength: float = 1.0,
         eta: float = 0.0,
         scheduler: str = "ddim",
-        seed: int = 0,
+        seed=0,
         num_images_per_prompt: int = 1,
         guess_mode: bool = False,
         latents: Optional[np.ndarray] = None,
         output_type: str = "uint8",
+        clip_skip: int = 0,
+        prompt_embeds: Optional[np.ndarray] = None,
+        negative_prompt_embeds: Optional[np.ndarray] = None,
+        callback=None,
+        callback_steps: int = 1,
         **kwargs,
     ):
         if control_image is None:
@@ -285,14 +341,35 @@ class ControlNetPipeline(InpaintPipeline):
                 guidance_scale=guidance_scale, strength=strength, eta=eta,
                 scheduler=scheduler, seed=seed,
                 num_images_per_prompt=num_images_per_prompt,
-                latents=latents, output_type=output_type, **kwargs,
+                latents=latents, output_type=output_type,
+                clip_skip=clip_skip, prompt_embeds=prompt_embeds,
+                negative_prompt_embeds=negative_prompt_embeds,
+                callback=callback, callback_steps=callback_steps, **kwargs,
             )
 
         from powerpaint_tpu.core.validation import (
+            InputValidationError,
             check_call_args,
             check_control_image,
             check_image_mask,
         )
+
+        if kwargs:  # **kwargs exists only for the no-control passthrough
+            raise InputValidationError(
+                "unsupported arguments for the ControlNet path: "
+                f"{sorted(kwargs)}"
+            )
+
+        multi = isinstance(prompt, (list, tuple))
+        if multi:
+            return self._call_multi(
+                image, mask, control_image, prompt, negative_prompt, task,
+                fitting_degree, num_inference_steps, guidance_scale,
+                controlnet_conditioning_scale, control_guidance_start,
+                control_guidance_end, strength, eta, scheduler, seed,
+                guess_mode, output_type, clip_skip, callback,
+                callback_steps,
+            )
 
         img = to_numpy_image(image)
         msk = to_numpy_mask(mask)
@@ -384,6 +461,19 @@ class ControlNetPipeline(InpaintPipeline):
             ],
             np.float32,
         )
+        b = img_b.shape[0]
+        seeds = (np.asarray(seed, np.int64)
+                 + np.arange(b, dtype=np.int64)).astype(np.int32)
+
+        def norm_embeds(e):
+            if e is None:
+                return None
+            e = np.asarray(e, np.float32)
+            return e[None] if e.ndim == 2 else e
+
+        self._active_callback = callback or self.step_callback
+        self._active_callback_steps = max(1, int(callback_steps))
+
         out = self._generate_cn(
             self.params,
             jnp.asarray(ids),
@@ -394,8 +484,10 @@ class ControlNetPipeline(InpaintPipeline):
             jnp.asarray(ctrl_b),
             jnp.float32(guidance_scale),
             jnp.asarray(keeps),
-            jax.random.PRNGKey(seed),
+            jnp.asarray(seeds),
             None if latents is None else jnp.asarray(latents),
+            norm_embeds(prompt_embeds),
+            norm_embeds(negative_prompt_embeds),
             # statics positionally: pjit rejects kwargs with in_shardings
             num_inference_steps,
             strength_steps,
@@ -403,5 +495,131 @@ class ControlNetPipeline(InpaintPipeline):
             float(eta),
             scheduler,
             guess_mode,
+            int(clip_skip),
+            self._active_callback is not None,
+        )
+        return np.asarray(out)
+
+    def _call_multi(
+        self, images, masks, control_images, prompts, negative_prompt,
+        task, fitting_degree, num_inference_steps, guidance_scale,
+        controlnet_conditioning_scale, control_guidance_start,
+        control_guidance_end, strength, eta, scheduler, seed, guess_mode,
+        output_type, clip_skip, callback, callback_steps,
+    ):
+        """Micro-batched serving form: B independent control requests as
+        ONE jitted generate (the v1 multi-request contract,
+        pipelines/inpaint.py).  Per-request: image, mask, control image(s),
+        prompt, negative, fitting, guidance, seed.  Shared: branch count,
+        scales/windows, steps/sampler/eta."""
+        from powerpaint_tpu.core.validation import (
+            InputValidationError,
+            check_call_args,
+        )
+
+        prompts = list(prompts)
+        B = len(prompts)
+        negatives = (
+            list(negative_prompt)
+            if isinstance(negative_prompt, (list, tuple))
+            else [negative_prompt] * B
+        )
+        fittings = (
+            list(fitting_degree)
+            if isinstance(fitting_degree, (list, tuple))
+            else [fitting_degree] * B
+        )
+        guidances = (
+            list(guidance_scale)
+            if isinstance(guidance_scale, (list, tuple))
+            else [guidance_scale] * B
+        )
+        seeds = (
+            np.asarray(seed, np.int32)
+            if isinstance(seed, (list, tuple))
+            else (np.asarray(seed, np.int64)
+                  + np.arange(B, dtype=np.int64)).astype(np.int32)
+        )
+
+        n_branches = len(self.params["controlnet"])
+        img_b = np.stack([to_numpy_image(im) for im in images])
+        mask_b = np.stack([
+            ((to_numpy_mask(m) >= 0.5).astype(np.uint8) * 255)[..., None]
+            for m in masks
+        ])
+        # per-request control image(s) -> (N, B, H, W, 3)
+        ctrl_cols = []
+        for c in control_images:
+            cs = list(c) if isinstance(c, (list, tuple)) else [c]
+            if len(cs) != n_branches:
+                raise InputValidationError(
+                    f"each request needs {n_branches} control images, "
+                    f"got {len(cs)}"
+                )
+            ctrl_cols.append([to_numpy_image(x) for x in cs])
+        ctrl_b = np.stack(
+            [np.stack([ctrl_cols[bi][n] for bi in range(B)])
+             for n in range(n_branches)]
+        )
+
+        def per_branch(v):
+            vs = list(v) if isinstance(v, (list, tuple)) else [v] * n_branches
+            return vs
+
+        scales = per_branch(controlnet_conditioning_scale)
+        starts = per_branch(control_guidance_start)
+        ends = per_branch(control_guidance_end)
+        for f, g in zip(fittings, guidances):
+            check_call_args(
+                task=task, num_inference_steps=num_inference_steps,
+                guidance_scale=float(g), fitting_degree=float(f),
+                strength=strength, control_guidance_start=min(starts),
+                control_guidance_end=max(ends),
+            )
+
+        ids = np.stack([
+            self.encode_task(add_task(p, n, task, "ppt-v1"))
+            for p, n in zip(prompts, negatives)
+        ])  # (B, 4, 77)
+
+        S = num_inference_steps
+        strength_steps = min(int(S * strength), S)
+        keeps = np.array(
+            [
+                [
+                    (1.0 - float(i / strength_steps < s
+                                 or (i + 1) / strength_steps > e)) * sc
+                    for s, e, sc in zip(starts, ends, scales)
+                ]
+                for i in range(strength_steps)
+            ],
+            np.float32,
+        )
+
+        self._active_callback = callback or self.step_callback
+        self._active_callback_steps = max(1, int(callback_steps))
+
+        out = self._generate_cn(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(np.asarray(fittings, np.float32)),
+            jnp.asarray(np.asarray(fittings, np.float32)),
+            jnp.asarray(img_b),
+            jnp.asarray(mask_b),
+            jnp.asarray(ctrl_b),
+            jnp.asarray(np.asarray(guidances, np.float32)),
+            jnp.asarray(keeps),
+            jnp.asarray(seeds),
+            None,
+            None,
+            None,
+            num_inference_steps,
+            strength_steps,
+            output_type == "uint8",
+            float(eta),
+            scheduler,
+            guess_mode,
+            int(clip_skip),
+            self._active_callback is not None,
         )
         return np.asarray(out)

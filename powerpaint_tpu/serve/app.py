@@ -76,6 +76,41 @@ def _run_request(pipe, payload: dict) -> bytes:
         if orig_hw == image.shape[:2]:
             orig_hw = None
 
+    # full per-request surface (reference UI fields, app.py:527-583):
+    # scheduler/strength/eta/clip_skip plus ControlNet and IP-Adapter
+    # inputs; unsupported-by-this-pipeline kwargs raise -> HTTP 400
+    extra = {}
+    for name, cast in (("scheduler", str), ("strength", float),
+                       ("eta", float), ("clip_skip", int),
+                       ("ip_adapter_scale", float),
+                       ("guess_mode", bool),
+                       ("controlnet_conditioning_scale", float),
+                       ("brushnet_conditioning_scale", float),
+                       ("control_guidance_start", float),
+                       ("control_guidance_end", float),
+                       ("encoder_cache_interval", int),
+                       ("branch_cache_interval", int)):
+        if name in payload:
+            extra[name] = cast(payload[name])
+    if "control_image_b64" in payload:
+        ctrl = to_numpy_image(Image.open(
+            io.BytesIO(base64.b64decode(payload["control_image_b64"]))
+        ))
+        if ctrl.shape[:2] != image.shape[:2]:
+            ctrl = np.asarray(Image.fromarray(ctrl).resize(
+                (image.shape[1], image.shape[0])
+            ))
+        ctype = payload.get("control_type")
+        if ctype:  # run the named preprocessor (canny/depth/hed/pose)
+            from powerpaint_tpu.tasks.control import get_control_image
+
+            ctrl = get_control_image(ctype, ctrl)
+        extra["control_image"] = ctrl
+    if "ip_adapter_image_b64" in payload:
+        extra["ip_adapter_image"] = to_numpy_image(Image.open(
+            io.BytesIO(base64.b64decode(payload["ip_adapter_image_b64"]))
+        ))
+
     out = pipe(
         image, mask,
         prompt=payload.get("prompt", ""),
@@ -85,6 +120,7 @@ def _run_request(pipe, payload: dict) -> bytes:
         num_inference_steps=int(payload.get("steps", 45)),
         guidance_scale=float(payload.get("guidance_scale", 7.5)),
         seed=int(payload.get("seed", 0)),
+        **extra,
     )
     final = blend_result(out[0], image, mask)
     if orig_hw is not None:

@@ -28,9 +28,14 @@ PER_REQUEST_DEFAULTS = {"prompt": "", "negative_prompt": "",
                         "fitting_degree": 1.0, "guidance_scale": 7.5,
                         "seed": 0}
 SHARED = ("task", "num_inference_steps", "strength", "scheduler", "eta",
-          "brushnet_conditioning_scale", "control_guidance_start",
-          "control_guidance_end", "guess_mode", "ip_adapter_scale",
-          "encoder_cache_interval", "branch_cache_interval")
+          "brushnet_conditioning_scale", "controlnet_conditioning_scale",
+          "control_guidance_start", "control_guidance_end", "guess_mode",
+          "ip_adapter_scale", "encoder_cache_interval",
+          "branch_cache_interval", "clip_skip")
+
+
+def _hashable(v):
+    return tuple(v) if isinstance(v, list) else v
 
 
 @dataclasses.dataclass
@@ -46,18 +51,30 @@ class _Pending:
 
     def batchable(self) -> bool:
         # eta noise is keyed per call, not per image; IP embeds are per
-        # call too — run those alone
+        # call too — run those alone.  Control requests batch with each
+        # other (per-image control stacks along B; per-image seeds make
+        # batched == standalone, pipelines/controlnet.py::_call_multi)
         k = self.kwargs
         return (float(k.get("eta", 0.0)) == 0.0
                 and k.get("ip_adapter_image") is None
                 and k.get("ip_adapter_image_embeds") is None
-                and k.get("control_image") is None
                 and k.get("latents") is None)
+
+    def _control_sig(self) -> Tuple:
+        """Branch count + shapes — requests only share a compiled program
+        when their control topology matches (content may differ)."""
+        c = self.kwargs.get("control_image")
+        if c is None:
+            return ("nocontrol",)
+        cs = c if isinstance(c, (list, tuple)) else [c]
+        return ("control", len(cs)) + tuple(
+            np.asarray(x).shape for x in cs
+        )
 
     def group_key(self) -> Tuple:
         k = self.kwargs
-        return (self.image.shape,) + tuple(
-            (name, k[name]) for name in SHARED if name in k
+        return (self.image.shape,) + self._control_sig() + tuple(
+            (name, _hashable(k[name])) for name in SHARED if name in k
         )
 
 
@@ -147,6 +164,10 @@ class MicroBatcher:
             call[name] = [
                 r.kwargs.get(name, PER_REQUEST_DEFAULTS[name])
                 for r in batch
+            ]
+        if k0.get("control_image") is not None:
+            call["control_image"] = [
+                r.kwargs["control_image"] for r in batch
             ]
         out = self.pipe(
             [r.image for r in batch], [r.mask for r in batch], **call
