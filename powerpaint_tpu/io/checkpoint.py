@@ -97,9 +97,14 @@ def load_ppt_v1(
     """Build an InpaintPipeline from a ppt-v1 checkpoint tree.
 
     ``root`` holds the fine-tuned unet/ + text_encoder/; ``base_dir``
-    (default: root) holds vae/ + tokenizer/ from the SD1.5 base."""
+    (default: root) holds vae/ + tokenizer/ from the SD1.5 base.  ``root``
+    may also be a single original-SD ``.ckpt``/``.safetensors`` FILE
+    (FromSingleFileMixin parity — io/convert.py::convert_single_file)."""
     from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 
+    if os.path.isfile(root):
+        return load_single_file(root, base_dir=base_dir, config=config,
+                                dtype=dtype)
     base_dir = base_dir or root
     config = config or ppt_v1_config()
 
@@ -136,6 +141,45 @@ def load_ppt_v1(
 
     tokenizer = _build_tokenizer(
         base_dir, config.text_encoder.vocab_size,
+        config.text_encoder.num_external_tokens,
+    )
+    return InpaintPipeline(config, params, tokenizer, dtype=dtype)
+
+
+def load_single_file(
+    path: str,
+    *,
+    base_dir: Optional[str] = None,
+    config: Optional[PowerPaintConfig] = None,
+    dtype=jnp.bfloat16,
+):
+    """Build an InpaintPipeline from ONE original-SD checkpoint file
+    (``model.diffusion_model.*`` layout — the diffusers
+    ``FromSingleFileMixin`` surface, reference pipeline_PowerPaint.py:157).
+
+    Single files carry no tokenizer vocab; pass ``base_dir`` pointing at a
+    directory with ``tokenizer/`` for real CLIP BPE, else the hash
+    tokenizer stands in (weight-free flows only)."""
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+    config = config or ppt_v1_config()
+    sd = C.load_state_dict(path)
+    params = C.convert_single_file(sd)
+    missing = [n for n in ("unet", "text_encoder", "vae")
+               if n not in params]
+    if missing:
+        raise FileNotFoundError(
+            f"single-file checkpoint {path!r} missing components: {missing}"
+        )
+    # single-file UNets are 4- or 9-channel; infer from conv_in
+    cin = params["unet"]["conv_in"]["kernel"].shape[2]
+    if cin != config.unet.in_channels:
+        config = config.replace(unet=config.unet.replace(in_channels=cin))
+    config = _sync_text_config(config, params["text_encoder"])
+    params = _to_device_tree(params, dtype)
+    tokenizer = _build_tokenizer(
+        base_dir or os.path.dirname(path) or ".",
+        config.text_encoder.vocab_size,
         config.text_encoder.num_external_tokens,
     )
     return InpaintPipeline(config, params, tokenizer, dtype=dtype)

@@ -505,6 +505,203 @@ def brushnet_params_from_unet(unet_params: dict, template: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# single-file original-SD checkpoints (FromSingleFileMixin parity)
+# ---------------------------------------------------------------------------
+#
+# The reference pipelines inherit diffusers ``FromSingleFileMixin``
+# (pipeline_PowerPaint.py:157, pipeline_PowerPaint_Brushnet_CA.py:137): a
+# user can load an original-layout ``v1-5.ckpt``/``.safetensors`` whose keys
+# are ``model.diffusion_model.*`` (LDM UNet), ``first_stage_model.*`` (LDM
+# VAE) and ``cond_stage_model.transformer.*`` (CLIP).  We map those to
+# diffusers-style keys and reuse the existing per-family converters.
+
+
+def _ldm_resnet(sub: str) -> str:
+    return (sub.replace("in_layers.0", "norm1")
+            .replace("in_layers.2", "conv1")
+            .replace("emb_layers.1", "time_emb_proj")
+            .replace("out_layers.0", "norm2")
+            .replace("out_layers.3", "conv2")
+            .replace("skip_connection", "conv_shortcut")
+            .replace("nin_shortcut", "conv_shortcut"))
+
+
+def ldm_unet_to_diffusers(
+    sd: Dict[str, np.ndarray], levels: int = 4, layers_per_block: int = 2
+) -> Dict[str, np.ndarray]:
+    """``model.diffusion_model.*`` keys -> diffusers UNet keys."""
+    out: Dict[str, np.ndarray] = {}
+    per = layers_per_block + 1  # input blocks per level (res,res,downsample)
+    for key, v in sd.items():
+        parts = key.split(".")
+        if key.startswith("time_embed."):
+            n = {"0": "linear_1", "2": "linear_2"}[parts[1]]
+            out[f"time_embedding.{n}.{parts[2]}"] = v
+        elif key.startswith("input_blocks.0.0."):
+            out[f"conv_in.{parts[3]}"] = v
+        elif key.startswith("input_blocks."):
+            i = int(parts[1])
+            lvl, j = (i - 1) // per, (i - 1) % per
+            sub = ".".join(parts[3:])
+            if j < layers_per_block:
+                if parts[2] == "0":  # resnet
+                    out[f"down_blocks.{lvl}.resnets.{j}.{_ldm_resnet(sub)}"] = v
+                else:  # spatial transformer (names already diffusers-like)
+                    out[f"down_blocks.{lvl}.attentions.{j}.{sub}"] = v
+            else:  # downsampler: input_blocks.{3,6,9}.0.op
+                sub = sub.replace("op.", "") if sub.startswith("op.") else \
+                    ".".join(parts[4:])
+                out[f"down_blocks.{lvl}.downsamplers.0.conv.{parts[-1]}"] = v
+        elif key.startswith("middle_block."):
+            sub = ".".join(parts[2:])
+            if parts[1] == "0":
+                out[f"mid_block.resnets.0.{_ldm_resnet(sub)}"] = v
+            elif parts[1] == "1":
+                out[f"mid_block.attentions.0.{sub}"] = v
+            else:
+                out[f"mid_block.resnets.1.{_ldm_resnet(sub)}"] = v
+        elif key.startswith("output_blocks."):
+            i = int(parts[1])
+            lvl, j = i // per, i % per
+            sub = ".".join(parts[3:])
+            is_upsampler = sub.startswith("conv.") and (
+                parts[2] != "0"
+                and (i % per == per - 1 or i == levels * per - 1)
+            )
+            if parts[2] == "0":
+                out[f"up_blocks.{lvl}.resnets.{j}.{_ldm_resnet(sub)}"] = v
+            elif is_upsampler:
+                out[f"up_blocks.{lvl}.upsamplers.0.conv.{parts[-1]}"] = v
+            else:
+                out[f"up_blocks.{lvl}.attentions.{j}.{sub}"] = v
+        elif key.startswith("out.0."):
+            out[f"conv_norm_out.{parts[2]}"] = v
+        elif key.startswith("out.2."):
+            out[f"conv_out.{parts[2]}"] = v
+    return out
+
+
+def ldm_vae_to_diffusers(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """``first_stage_model.*`` keys -> diffusers AutoencoderKL keys.
+
+    Decoder up levels are REVERSED (LDM ``decoder.up.0`` is the lowest
+    resolution; diffusers ``decoder.up_blocks.0`` the highest); LDM mid
+    attention q/k/v/proj_out are 1x1 convs -> squeezed to linears."""
+    n_up = 1 + max(
+        (int(k.split(".")[2]) for k in sd if k.startswith("decoder.up.")),
+        default=-1,
+    )
+    out: Dict[str, np.ndarray] = {}
+
+    def attn(name: str, v):
+        m = {"q": "to_q", "k": "to_k", "v": "to_v", "proj_out": "to_out.0",
+             "norm": "group_norm"}
+        mod, param = name.split(".", 1)
+        v = v[:, :, 0, 0] if (v.ndim == 4 and mod in ("q", "k", "v",
+                                                      "proj_out")) else v
+        return f"{m[mod]}.{param}", v
+
+    for key, v in sd.items():
+        parts = key.split(".")
+        side = parts[0]
+        if side in ("quant_conv", "post_quant_conv"):
+            out[key] = v
+        elif parts[1] in ("conv_in", "conv_out"):
+            out[key] = v
+        elif parts[1] == "norm_out":
+            out[f"{side}.conv_norm_out.{parts[2]}"] = v
+        elif parts[1] in ("down", "up"):
+            lvl = int(parts[2])
+            blk = (f"down_blocks.{lvl}" if parts[1] == "down"
+                   else f"up_blocks.{n_up - 1 - lvl}")
+            if parts[3] == "block":
+                sub = _ldm_resnet(".".join(parts[5:]))
+                out[f"{side}.{blk}.resnets.{parts[4]}.{sub}"] = v
+            elif parts[3] == "downsample":
+                out[f"{side}.{blk}.downsamplers.0.{'.'.join(parts[4:])}"] = v
+            elif parts[3] == "upsample":
+                out[f"{side}.{blk}.upsamplers.0.{'.'.join(parts[4:])}"] = v
+        elif parts[1] == "mid":
+            if parts[2] == "block_1":
+                sub = _ldm_resnet(".".join(parts[3:]))
+                out[f"{side}.mid_block.resnets.0.{sub}"] = v
+            elif parts[2] == "block_2":
+                sub = _ldm_resnet(".".join(parts[3:]))
+                out[f"{side}.mid_block.resnets.1.{sub}"] = v
+            elif parts[2] == "attn_1":
+                name, v = attn(".".join(parts[3:]), v)
+                out[f"{side}.mid_block.attentions.0.{name}"] = v
+    return out
+
+
+def convert_single_file(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
+    """Original-SD single-file state dict -> ``{"unet": tree, "vae": tree,
+    "text_encoder": tree}`` (present components only).  EMA weights
+    (``model_ema.*``) are ignored, as in diffusers' loader default."""
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+    te_sd = {k[len("cond_stage_model.transformer."):]: v
+             for k, v in sd.items()
+             if k.startswith("cond_stage_model.transformer.")}
+    out: Dict[str, dict] = {}
+    if unet_sd:
+        out["unet"] = convert_unet(ldm_unet_to_diffusers(unet_sd))
+    if vae_sd:
+        out["vae"] = convert_vae(ldm_vae_to_diffusers(vae_sd))
+    if te_sd:
+        out["text_encoder"] = convert_clip_text(te_sd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# user textual-inversion embeddings (TextualInversionLoaderMixin parity)
+# ---------------------------------------------------------------------------
+
+
+def load_textual_inversion(
+    tokenizer,
+    text_params: dict,
+    sd: Dict[str, np.ndarray],
+    token: Optional[str] = None,
+) -> dict:
+    """Register a user TI embedding (reference
+    ``TextualInversionLoaderMixin.maybe_convert_prompt`` usage,
+    pipeline_PowerPaint.py:375,466): multi-vector embeddings expand
+    ``<token>`` -> ``<token>_0 .. <token>_{n-1}`` exactly like the task
+    tokens, and the learned rows are appended to ``external_embedding``
+    (the functional analog of resizing the torch embedding table).
+
+    Accepts both published layouts: ``{"<token>": (n, D)}`` (A1111 .pt
+    ``string_to_param`` flattened) and ``{"emb_params": ...}`` /
+    ``{"clip_l": ...}`` safetensors.  Returns a NEW text-encoder tree."""
+    import copy as _copy
+
+    rows = None
+    for key in (token, "emb_params", "clip_l", "string_to_param"):
+        if key is not None and key in sd:
+            rows = np.asarray(sd[key], np.float32)
+            break
+    if rows is None and len(sd) == 1:
+        (token_in_file, rows), = sd.items()
+        rows = np.asarray(rows, np.float32)
+        token = token or str(token_in_file)
+    if rows is None:
+        raise ValueError(f"no embedding tensor found (keys: {sorted(sd)})")
+    if token is None:
+        raise ValueError("token name required for this file layout")
+    rows = rows.reshape(-1, rows.shape[-1])
+
+    tokenizer.add_placeholder_token(token, num_vec_per_token=rows.shape[0])
+    out = _copy.copy(text_params)
+    ext = np.asarray(out.get("external_embedding",
+                             np.zeros((0, rows.shape[1]), np.float32)))
+    out["external_embedding"] = np.concatenate([ext, rows], axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # annotator checkpoints (HED, OpenPose body)
 # ---------------------------------------------------------------------------
 

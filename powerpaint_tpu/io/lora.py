@@ -294,3 +294,31 @@ class LoraMixin:
         for sd, scale in reversed(getattr(self, "_loaded_loras", [])):
             self.params, _ = merge_lora(self.params, sd, -scale)
         self._loaded_loras = []
+
+    def add_textual_inversion(self, sd_or_path, token: Optional[str] = None
+                              ) -> None:
+        """Register a USER textual-inversion embedding (reference
+        ``TextualInversionLoaderMixin``, pipeline_PowerPaint.py:375,466):
+        appends the learned rows to the external-embedding table, updates
+        the encoder config, and rebuilds the jitted program (the embedding
+        table shape is baked into the trace)."""
+        from powerpaint_tpu.io.convert import (
+            load_state_dict,
+            load_textual_inversion,
+        )
+
+        sd = (load_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+              else sd_or_path)
+        key = ("text_encoder_brushnet"
+               if "text_encoder_brushnet" in self.params
+               else "text_encoder")
+        self.params[key] = load_textual_inversion(
+            self.tokenizer, self.params[key], sd, token=token
+        )
+        n = self.params[key]["external_embedding"].shape[0]
+        self.config = self.config.replace(
+            text_encoder=self.config.text_encoder.replace(
+                num_external_tokens=n
+            )
+        )
+        self.__post_init__()  # rebuild models + jit for the new table

@@ -27,6 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "dir saved by this framework)")
     p.add_argument("--weight_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
+    p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
+                   help="merge a LoRA checkpoint (diffusers/kohya format) "
+                        "into the loaded weights; repeatable")
+    p.add_argument("--textual_inversion", action="append", default=[],
+                   metavar="PATH[:TOKEN]",
+                   help="register a user textual-inversion embedding; "
+                        "repeatable")
+    p.add_argument("--clip_skip", type=int, default=0,
+                   help="skip the last N CLIP layers when encoding")
     p.add_argument("--serve", action="store_true", help="launch web UI")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--share", action="store_true")
@@ -87,8 +96,12 @@ def build_pipeline(args):
         from powerpaint_tpu.io.checkpoint import load_ppt_v1, load_ppt_v2
 
         if args.version == "ppt-v1":
-            return load_ppt_v1(args.checkpoint_dir, dtype=dtype)
-        return load_ppt_v2(args.checkpoint_dir, dtype=dtype)
+            return _apply_adapters(
+                load_ppt_v1(args.checkpoint_dir, dtype=dtype), args
+            )
+        return _apply_adapters(
+            load_ppt_v2(args.checkpoint_dir, dtype=dtype), args
+        )
 
     # random-weight demo stack
     if args.tiny:
@@ -106,10 +119,40 @@ def build_pipeline(args):
     if args.version == "ppt-v1":
         from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 
-        return InpaintPipeline(cfg, params, tok, dtype=dtype)
-    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+        pipe = InpaintPipeline(cfg, params, tok, dtype=dtype)
+    else:
+        from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
 
-    return BrushNetPipeline(cfg, params, tok, dtype=dtype)
+        pipe = BrushNetPipeline(cfg, params, tok, dtype=dtype)
+    return _apply_adapters(pipe, args)
+
+
+def _apply_adapters(pipe, args):
+    """--lora / --textual_inversion post-load hooks."""
+    for spec in getattr(args, "lora", []):
+        path, _, scale = spec.rpartition(":")
+        if not path or not _is_float(scale):
+            path, scale = spec, "1.0"
+        unmatched = pipe.load_lora_weights(path, scale=float(scale))
+        msg = f"lora: merged {path} (scale {scale})"
+        if unmatched:
+            msg += f"; {len(unmatched)} unmatched modules"
+        print(msg)
+    for spec in getattr(args, "textual_inversion", []):
+        path, _, token = spec.rpartition(":")
+        if not path:
+            path, token = spec, None
+        pipe.add_textual_inversion(path, token=token or None)
+        print(f"textual inversion: registered {spec}")
+    return pipe
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def run_one_shot(args) -> int:
@@ -181,6 +224,7 @@ def run_one_shot(args) -> int:
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
             seed=args.seed,
+            clip_skip=args.clip_skip,
             **kwargs,
         )
     dt = time.time() - t0
