@@ -133,13 +133,20 @@ def main() -> None:
         ts = []
         for i in range(n):
             t0 = time.time()
-            out = run(steps, seed=i)
+            run(steps, seed=i)
             ts.append(time.time() - t0)
-        return min(ts)
+        return ts
 
-    t20 = timed(20)
-    t10 = timed(10)
-    per_step = (t20 - t10) / 10.0  # slope: marginal denoise-step latency
+    ts20 = timed(20)
+    ts10 = timed(10)
+    t20, t10 = min(ts20), min(ts10)
+    # marginal denoise-step latency: paired (20-step, 10-step) slope
+    # samples; the headline is the MEDIAN of the samples, named for what
+    # it is (a slope estimate, not a sampled per-step percentile)
+    slopes_ms = sorted(
+        (a - b) / 10.0 * 1000.0 for a, b in zip(ts20, ts10)
+    )
+    per_step_ms = slopes_ms[len(slopes_ms) // 2]
     imgs_per_sec = 1.0 / t20
 
     batched = {}
@@ -163,6 +170,23 @@ def main() -> None:
             "t_total_batched_s": round(tb, 4),
         }
 
+    # secondary pipeline numbers in `extra` (v2 when benching v1): only
+    # when its AOT cache is warm (or POWERPAINT_BENCH_FULL=1) so the
+    # driver's default run never pays a cold multi-minute compile
+    other = {}
+    other_which = "v2" if which == "v1" else "v1"
+    other_aot = os.path.join(
+        aot_dir, f"ppt_{other_which}_512_b1{'_im2col' if im2col else ''}.aot"
+    )
+    want_full = os.environ.get("POWERPAINT_BENCH_FULL") == "1"
+    if platform == "tpu" and not quantize and (
+        os.path.exists(other_aot) or want_full
+    ):
+        try:
+            other.update(_bench_other(other_which, other_aot, image, mask))
+        except Exception:
+            pass
+
     result = {
         "metric": f"images/sec/chip @512x512 20-step ppt-{which} inpaint",
         "value": round(imgs_per_sec, 4),
@@ -172,15 +196,83 @@ def main() -> None:
             "platform": platform,
             "t_total_20step_s": round(t20, 4),
             "t_total_10step_s": round(t10, 4),
-            "p50_step_latency_ms": round(per_step * 1000, 2),
+            "step_latency_slope_ms": round(per_step_ms, 2),
+            "slope_samples_ms": [round(s, 2) for s in slopes_ms],
             "compile_s": round(compile_20 + compile_10, 1),
             "aot_warm": aot_loaded,
             "batch": 1,
             "dtype": "bfloat16",
             **batched,
+            **other,
         },
     }
     print(json.dumps(result))
+
+
+def _bench_other(which: str, aot_path: str, image, mask) -> dict:
+    """Measure the OTHER pipeline (20-step exact, batch 1) for the extras
+    block.  Loads its AOT executable when available; compiles otherwise
+    (callers gate on cache presence)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    if which == "v2":
+        from powerpaint_tpu.core.config import ppt_v2_config
+        from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+        cfg = ppt_v2_config()
+        cls = BrushNetPipeline
+    else:
+        from powerpaint_tpu.core.config import ppt_v1_config
+        from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+        cfg = ppt_v1_config()
+        cls = InpaintPipeline
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
+                         dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tok = TokenizerWrapper(HashTokenizer())
+    add_task_tokens(tok)
+    pipe = cls(cfg, params, tok, dtype=jnp.bfloat16)
+    warm = False
+    if os.path.exists(aot_path):
+        try:
+            pipe.aot_load(aot_path)
+            warm = True
+        except Exception:
+            pass
+
+    def run(seed=0):
+        return pipe(image, mask, prompt="a red sports car", seed=seed,
+                    num_inference_steps=20)
+
+    run()  # warmup (AOT'd or compile)
+    if not warm:
+        try:
+            os.makedirs(os.path.dirname(aot_path), exist_ok=True)
+            pipe.aot_dump(aot_path)
+        except Exception:
+            pass
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(seed=i)
+        ts.append(time.time() - t0)
+    t = min(ts)
+    return {
+        f"{which}_imgs_per_sec": round(1.0 / t, 4),
+        f"{which}_t_total_20step_s": round(t, 4),
+        f"{which}_aot_warm": warm,
+    }
 
 
 if __name__ == "__main__":
