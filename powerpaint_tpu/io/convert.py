@@ -365,12 +365,16 @@ def ip_adapter_attn2_paths(unet_cfg) -> List[Tuple[str, ...]]:
     return paths
 
 
-def convert_ip_adapter(sd: Dict, unet_cfg) -> dict:
+def convert_ip_adapter(sd: Dict, unet_cfg, adapter_index: int = 0) -> dict:
     """IP-Adapter checkpoint -> partial UNet tree (encoder_hid_proj +
     per-attn2 to_k_ip/to_v_ip).  Accepts both layouts: the original nested
     {'image_proj': {...}, 'ip_adapter': {'1.to_k_ip.weight': ...}} and flat
     'image_proj.proj.weight' / 'ip_adapter.1.to_k_ip.weight' safetensors
-    keys.  Merge into UNet params with ``merge_ip_adapter``."""
+    keys.  ``adapter_index`` > 0 emits the multi-adapter scope names
+    (``encoder_hid_proj_a`` / ``to_k_ip_a`` — diffusers' ModuleList slots,
+    pipeline_PowerPaint_Brushnet_CA.py:658-675).  Merge into UNet params
+    with ``merge_ip_adapter``; convert several files with increasing
+    indices for adapter stacks."""
     flat: Dict[str, np.ndarray] = {}
     for k, v in sd.items():
         if isinstance(v, dict):
@@ -385,8 +389,9 @@ def convert_ip_adapter(sd: Dict, unet_cfg) -> dict:
                 return np.asarray(flat[n])
         raise KeyError(f"ip-adapter checkpoint missing any of {names}")
 
+    sfx = "" if adapter_index == 0 else f"_{adapter_index}"
     tree: dict = {
-        "encoder_hid_proj": {
+        f"encoder_hid_proj{sfx}": {
             "image_embeds": {
                 "kernel": np.transpose(
                     get("image_proj.proj.weight",
@@ -404,8 +409,9 @@ def convert_ip_adapter(sd: Dict, unet_cfg) -> dict:
     for idx, path in enumerate(ip_adapter_attn2_paths(unet_cfg)):
         kid = 2 * idx + 1
         for name in ("to_k_ip", "to_v_ip"):
-            w = get(f"ip_adapter.{kid}.{name}.weight")
-            _insert(tree, path + (name, "kernel"), np.transpose(w))
+            w = get(f"ip_adapter.{kid}.{name}.weight",
+                    f"ip_adapter.{kid}.{name}.{adapter_index}.weight")
+            _insert(tree, path + (name + sfx, "kernel"), np.transpose(w))
     return tree
 
 

@@ -65,15 +65,30 @@ class Attention(nn.Module):
         out = attention(q, k, v)
 
         if ip_context is not None:
-            n_ip = ip_context.shape[1]
-            k_ip = dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
-                         use_bias=False, name="to_k_ip")(ip_context)
-            v_ip = dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
-                         use_bias=False, name="to_v_ip")(ip_context)
-            k_ip = k_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
-            v_ip = v_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
-            out_ip = attention(q, k_ip, v_ip)
-            out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
+            # one or several adapters (reference multi-IP-Adapter lists,
+            # pipeline_PowerPaint_Brushnet_CA.py:658-675): each adapter has
+            # its own decoupled K/V and scale; outputs sum.  Adapter 0
+            # keeps the bare names (single-adapter checkpoints unchanged);
+            # adapter a>0 uses the _a suffix (convert_ip_adapter maps
+            # diffusers' to_k_ip.{a} ModuleList entries there).
+            contexts = (ip_context if isinstance(ip_context, (tuple, list))
+                        else (ip_context,))
+            scales = (tuple(ip_scale)
+                      if isinstance(ip_scale, (tuple, list))
+                      else (ip_scale,) * len(contexts))
+            for a, (ipc, sc) in enumerate(zip(contexts, scales)):
+                sfx = "" if a == 0 else f"_{a}"
+                n_ip = ipc.shape[1]
+                k_ip = dense(inner, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             use_bias=False, name=f"to_k_ip{sfx}")(ipc)
+                v_ip = dense(inner, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             use_bias=False, name=f"to_v_ip{sfx}")(ipc)
+                k_ip = k_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+                v_ip = v_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+                out_ip = attention(q, k_ip, v_ip)
+                out = out + jnp.asarray(sc, out.dtype) * out_ip
 
         out = out.reshape(b, s, inner)
         return dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,

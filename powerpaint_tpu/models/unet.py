@@ -107,10 +107,26 @@ class UNet2DConditionModel(nn.Module):
         if image_embeds is not None:
             from powerpaint_tpu.models.projection import ImageProjection
 
-            ip_context = ImageProjection(
-                cfg.cross_attention_dim, cfg.ip_adapter_tokens,
-                self.dtype, self.param_dtype, name="encoder_hid_proj",
-            )(image_embeds)
+            embeds = (image_embeds
+                      if isinstance(image_embeds, (tuple, list))
+                      else (image_embeds,))
+            tokens = cfg.ip_adapter_tokens
+            tokens = (tokens if isinstance(tokens, (tuple, list))
+                      else (tokens,) * len(embeds))
+            # adapter 0 keeps the bare scope name (single-adapter
+            # checkpoints unchanged); extra adapters get _a suffixes
+            ip_context = tuple(
+                ImageProjection(
+                    cfg.cross_attention_dim, tokens[a],
+                    self.dtype, self.param_dtype,
+                    name="encoder_hid_proj" + ("" if a == 0 else f"_{a}"),
+                )(e)
+                for a, e in enumerate(embeds)
+            )
+            if len(ip_context) == 1 and not isinstance(
+                image_embeds, (tuple, list)
+            ):
+                ip_context = ip_context[0]
 
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))

@@ -77,7 +77,8 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
             cfg.text_encoder.replace(num_external_tokens=0), dtype=self.dtype
         )
         # optional CLIP image tower for ip_adapter_image (reference
-        # encode_image, pipeline_PowerPaint_Brushnet_CA.py:629-654)
+        # encode_image, pipeline_PowerPaint_Brushnet_CA.py:629-654);
+        # shared across adapters (one tower, per-adapter projections)
         self._encode_ip_image = None
         if cfg.image_encoder is not None and "image_encoder" in self.params:
             from powerpaint_tpu.models.clip_vision import (
@@ -377,6 +378,29 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
 
     # ----------------------------------------------------------------- host
 
+    def _encode_one_ip_image(self, image) -> np.ndarray:
+        """CLIP-encode one IP-Adapter reference image (reference
+        encode_image, :629-654): bicubic resize to the tower's input, CLIP
+        normalize, projected embedding."""
+        from PIL import Image as _Image
+
+        from powerpaint_tpu.core.safety import _CLIP_MEAN, _CLIP_STD
+
+        s = self.config.image_encoder.image_size
+        pix = np.asarray(
+            _Image.fromarray(to_numpy_image(image)).resize(
+                (s, s), _Image.BICUBIC
+            ),
+            dtype=np.float32,
+        )
+        pix = (pix / 255.0 - _CLIP_MEAN) / _CLIP_STD
+        return np.asarray(
+            self._encode_ip_image(
+                self.params["image_encoder"], jnp.asarray(pix[None])
+            ),
+            dtype=np.float32,
+        )
+
     def _run_step_callback(self, i, latents):
         """Host trampoline behind ``jax.debug.callback`` (observation-only
         analog of the reference's per-call ``callback`` /
@@ -535,35 +559,36 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
                     "ip_adapter_image needs an image encoder: set "
                     "config.image_encoder and params['image_encoder']"
                 )
-            from powerpaint_tpu.core.safety import _CLIP_MEAN, _CLIP_STD
-            from PIL import Image as _Image
-
-            s = self.config.image_encoder.image_size
-            pix = np.asarray(
-                _Image.fromarray(to_numpy_image(ip_adapter_image)).resize(
-                    (s, s), _Image.BICUBIC
-                ),
-                dtype=np.float32,
-            )
-            pix = (pix / 255.0 - _CLIP_MEAN) / _CLIP_STD
-            ip_adapter_image_embeds = np.asarray(
-                self._encode_ip_image(
-                    self.params["image_encoder"], jnp.asarray(pix[None])
-                ),
-                dtype=np.float32,
-            )
+            imgs = (list(ip_adapter_image)
+                    if isinstance(ip_adapter_image, (list, tuple))
+                    else [ip_adapter_image])
+            ip_adapter_image_embeds = [
+                self._encode_one_ip_image(im) for im in imgs
+            ]
+            if not isinstance(ip_adapter_image, (list, tuple)):
+                ip_adapter_image_embeds = ip_adapter_image_embeds[0]
 
         ip_embeds = None
         if ip_adapter_image_embeds is not None:
-            e = np.asarray(ip_adapter_image_embeds, np.float32)
-            if e.ndim == 1:
-                e = e[None]
-            if e.shape[0] == 1:
-                e = np.tile(e, (img_b.shape[0], 1))
-            # CFG pair: unconditional half is zeros (reference :650-654)
-            ip_embeds = jnp.asarray(
-                np.concatenate([np.zeros_like(e), e], axis=0)
-            )
+            # one embedding per adapter (reference multi-IP-Adapter lists,
+            # :658-675); single-adapter calls keep the bare-array form
+            multi_ip = isinstance(ip_adapter_image_embeds, (list, tuple))
+            embeds_list = (list(ip_adapter_image_embeds) if multi_ip
+                           else [ip_adapter_image_embeds])
+
+            def cfg_pair(e):
+                e = np.asarray(e, np.float32)
+                if e.ndim == 1:
+                    e = e[None]
+                if e.shape[0] == 1:
+                    e = np.tile(e, (img_b.shape[0], 1))
+                # CFG pair: unconditional half is zeros (reference :650-654)
+                return jnp.asarray(
+                    np.concatenate([np.zeros_like(e), e], axis=0)
+                )
+
+            pairs = [cfg_pair(e) for e in embeds_list]
+            ip_embeds = tuple(pairs) if multi_ip else pairs[0]
 
         if isinstance(seed, (list, tuple)):
             seeds = np.asarray(seed, np.int32)
@@ -599,7 +624,9 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
             norm_embeds(prompt_embeds),
             norm_embeds(negative_prompt_embeds),
             ip_embeds,
-            jnp.float32(ip_adapter_scale),
+            (tuple(jnp.float32(s) for s in ip_adapter_scale)
+             if isinstance(ip_adapter_scale, (list, tuple))
+             else jnp.float32(ip_adapter_scale)),
             num_inference_steps,
             output_type == "uint8",
             guess_mode,

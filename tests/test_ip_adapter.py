@@ -174,3 +174,65 @@ def test_v2_pipeline_ip_adapter_changes_output():
         scale0.astype(np.int32), base.astype(np.int32), atol=1,
         err_msg="ip_scale=0 must reduce to the no-adapter output",
     )
+
+
+def test_v2_pipeline_multi_ip_adapter():
+    """Multi-IP-Adapter (reference adapter LISTS,
+    pipeline_PowerPaint_Brushnet_CA.py:658-675): two adapters with their
+    own projections/decoupled K-V and per-adapter scales; zeroing one
+    scale reduces to the single-adapter result."""
+    from powerpaint_tpu.models.unet import UNet2DConditionModel
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v2_config()
+    cfg = cfg.replace(unet=cfg.unet.replace(ip_adapter_dim=8,
+                                            ip_adapter_tokens=4))
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    sd0 = _synthetic_ip_sd(cfg.unet, rng)
+    sd1 = _synthetic_ip_sd(cfg.unet, rng)
+    merged = C.merge_ip_adapter(params["unet"],
+                                C.convert_ip_adapter(sd0, cfg.unet, 0))
+    merged = C.merge_ip_adapter(merged,
+                                C.convert_ip_adapter(sd1, cfg.unet, 1))
+    # structural check against an init'd two-adapter UNet
+    m = UNet2DConditionModel(cfg.unet, dtype=jnp.float32)
+    two = jax.jit(m.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)), jnp.array([0]),
+        jnp.zeros((1, 77, cfg.unet.cross_attention_dim)),
+        image_embeds=(jnp.zeros((1, cfg.unet.ip_adapter_dim)),
+                      jnp.zeros((1, cfg.unet.ip_adapter_dim))),
+    )["params"]
+    problems = C.validate_against(merged, two)
+    assert not problems, problems[:10]
+
+    params = dict(params, unet=merged)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.float32)
+
+    img = (np.random.default_rng(0)
+           .integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    e0 = np.random.default_rng(1).standard_normal((8,), dtype=np.float32)
+    e1 = np.random.default_rng(2).standard_normal((8,), dtype=np.float32)
+    kw = dict(prompt="a dog", num_inference_steps=2, seed=3)
+
+    single = pipe(img, mask, ip_adapter_image_embeds=e0, **kw)
+    both = pipe(img, mask, ip_adapter_image_embeds=[e0, e1],
+                ip_adapter_scale=[1.0, 1.0], **kw)
+    second_off = pipe(img, mask, ip_adapter_image_embeds=[e0, e1],
+                      ip_adapter_scale=[1.0, 0.0], **kw)
+
+    assert not np.array_equal(single, both), "second adapter must matter"
+    np.testing.assert_allclose(
+        second_off.astype(np.int32), single.astype(np.int32), atol=1,
+        err_msg="scale [1,0] must reduce to the single-adapter output",
+    )
