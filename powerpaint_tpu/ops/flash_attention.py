@@ -26,25 +26,30 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_kv
+    q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *, kv_len, block_kv
 ):
+    """VPU-lean online softmax.  At SD head dims (D=40..160 << 128 lanes)
+    the dots are cheap and the kernel is bound by the per-(q,kv)-element
+    VPU work, so: the softmax scale is folded into q BEFORE the kernel
+    (one op per q element instead of per s element), and the running
+    denominator comes out of the PV matmul via a ones-column appended to v
+    (the MXU lanes are padding anyway at D<127) — no VPU row-sum, no
+    separate l scratch.  acc column D holds sum(p)-weighted ones, i.e. l."""
     kv_i = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
     @pl.when(kv_i == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (Bq, D)
+    q = q_ref[0]  # (Bq, D) — pre-scaled
     k = k_ref[0]  # (Bk, D)
-    v = v_ref[0]  # (Bk, D)
+    v = v_ref[0]  # (Bk, D+1) — last column is ones
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
 
     # mask out padded kv positions in the (only possibly ragged) final block
     if kv_len % block_kv != 0:
@@ -54,30 +59,27 @@ def _flash_kernel(
         s = jnp.where(kv_pos < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]  # (Bq, 1)
-    l_prev = l_scr[:, :1]
 
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # (Bq, Bk) fp32
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (Bq, D+1): output + row-sum in the last column
     acc_scr[:] = acc_scr[:] * alpha + pv
 
     @pl.when(kv_i == num_kv - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = acc_scr[:, -1:]
         l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:, :-1] / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -98,6 +100,15 @@ def _flash_bnsd(
     nq = pl.cdiv(sq, block_q)
     nk = pl.cdiv(skv, block_kv)
 
+    # fold the softmax scale into q: one multiply per q element instead of
+    # one per (q, kv) score element (the kernel is VPU-bound at SD shapes)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # ones column on v: the PV matmul then emits the softmax denominator in
+    # its last output column (free — MXU lanes beyond D are padding anyway)
+    v = jnp.concatenate(
+        [v, jnp.ones((g, skv, 1), v.dtype)], axis=-1
+    )
+
     # pad ragged sequence dims; padded q rows are sliced off after the call,
     # padded kv rows are masked inside the kernel.
     sq_pad = nq * block_q - sq
@@ -109,7 +120,7 @@ def _flash_bnsd(
         v = jnp.pad(v, ((0, 0), (0, skv_pad), (0, 0)))
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=skv, block_kv=block_kv
+        _flash_kernel, kv_len=skv, block_kv=block_kv
     )
     out = pl.pallas_call(
         kernel,
@@ -123,7 +134,8 @@ def _flash_bnsd(
                 (1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, block_kv, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+                (1, block_kv, d + 1), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -131,8 +143,7 @@ def _flash_bnsd(
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+            pltpu.VMEM((block_q, d + 1), jnp.float32),  # acc + l column
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
