@@ -471,3 +471,116 @@ def test_composed_brushnet_full_injection():
         up_block_add_samples=fu,
     )
     assert_close(got, want, msg="full BrushNet-injected UNet forward")
+
+
+class TorchCondEmbedding(nn.Module):
+    """diffusers ControlNetConditioningEmbedding: conv_in -> silu ->
+    [conv s1, silu, conv s2, silu]x3 -> zero conv_out."""
+
+    def __init__(self, out_ch, embed=(8, 16, 16, 32)):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, embed[0], 3, padding=1)
+        blocks = []
+        for i in range(len(embed) - 1):
+            blocks.append(nn.Conv2d(embed[i], embed[i], 3, padding=1))
+            blocks.append(nn.Conv2d(embed[i], embed[i + 1], 3, stride=2,
+                                    padding=1))
+        self.blocks = nn.ModuleList(blocks)
+        self.conv_out = nn.Conv2d(embed[-1], out_ch, 3, padding=1)
+
+    def forward(self, cond):
+        x = F.silu(self.conv_in(cond))
+        for blk in self.blocks:
+            x = F.silu(blk(x))
+        return self.conv_out(x)
+
+
+class TorchMiniControlNet(nn.Module):
+    """diffusers ControlNetModel composition: conv_in + cond embedding,
+    down blocks, mid, zero convs on every skip + mid (randomized here)."""
+
+    def __init__(self, cfg, embed=(8, 16, 16, 32)):
+        super().__init__()
+        self.cfg = cfg
+        ch = cfg.block_out_channels
+        temb = ch[0] * 4
+        g = cfg.norm_num_groups
+        heads = cfg.attention_head_dim
+        ctx = cfg.cross_attention_dim
+        self.conv_in = nn.Conv2d(4, ch[0], 3, padding=1)
+        self.controlnet_cond_embedding = TorchCondEmbedding(ch[0], embed)
+        self.time_embedding = TorchTimestepMLP(ch[0], temb)
+        self.down_blocks = nn.ModuleList()
+        for i, bt in enumerate(cfg.down_block_types):
+            cin = ch[max(i - 1, 0)]
+            self.down_blocks.append(TorchDownBlock(
+                cin, ch[i], temb, g, bt == CROSS_ATTN_DOWN, ctx, heads,
+                add_down=i < len(ch) - 1,
+            ))
+        self.mid_block = TorchMidBlock(ch[-1], temb, g, ctx, heads)
+        down_chs = TorchMiniUNet._skip_channels(self)
+        self.controlnet_down_blocks = nn.ModuleList(
+            [nn.Conv2d(c, c, 1) for c in down_chs]
+        )
+        self.controlnet_mid_block = nn.Conv2d(ch[-1], ch[-1], 1)
+
+    def forward(self, sample, timesteps, ctx, cond, scale=1.0):
+        temb = self.time_embedding(
+            sinusoid(timesteps, self.cfg.block_out_channels[0])
+        )
+        x = self.conv_in(sample) + self.controlnet_cond_embedding(cond)
+        feats = [x]
+        for blk in self.down_blocks:
+            x, s = blk(x, temb, ctx)
+            feats += s
+        x = self.mid_block(x, temb, ctx)
+        down = [z(f) * scale
+                for z, f in zip(self.controlnet_down_blocks, feats)]
+        mid = self.controlnet_mid_block(x) * scale
+        return down, mid
+
+
+def test_composed_controlnet_branch_and_injection():
+    """Torch mini-ControlNet -> residuals -> torch UNet vs the full flax
+    pair: branch computation (cond embedding + half-UNet + zero convs)
+    AND residual placement, end to end."""
+    from powerpaint_tpu.core.config import ControlNetConfig
+    from powerpaint_tpu.models.controlnet import ControlNetModel
+
+    cfg = mini_cfg(9)
+    cn_base = mini_cfg(4)
+    tcn = TorchMiniControlNet(cn_base).eval()
+    tm = TorchMiniUNet(cfg).eval()
+    g = torch.Generator().manual_seed(7)
+    sample9 = torch.randn(2, 9, 16, 16, generator=g)
+    sample4 = sample9[:, :4]
+    t = torch.tensor([500, 10])
+    ctx = torch.randn(2, 77, cfg.cross_attention_dim, generator=g)
+    cond = torch.rand(2, 3, 128, 128, generator=g)  # 8x latent size
+
+    with torch.no_grad():
+        d_res, m_res = tcn(sample4, t, ctx, cond, scale=0.7)
+        want = tm(sample9, t, ctx, cn_down=d_res, cn_mid=m_res)
+
+    cn_tree = C.convert_controlnet(sd_numpy(tcn))
+    un_tree = C.convert_unet(sd_numpy(tm))
+    ccfg = ControlNetConfig(base=cn_base,
+                            conditioning_embedding_out_channels=(8, 16, 16, 32))
+    cn = ControlNetModel(ccfg, dtype=jnp.float32)
+    fd, fm = cn.apply(
+        {"params": cn_tree}, jnp.asarray(nchw_to_nhwc(sample4)),
+        jnp.asarray(to_np(t)), jnp.asarray(to_np(ctx)),
+        jnp.asarray(nchw_to_nhwc(cond)), conditioning_scale=0.7,
+    )
+    for i, (a, b) in enumerate(zip(fd, d_res)):
+        assert_close(a, b, msg=f"cn down residual {i}")
+    assert_close(fm, m_res, msg="cn mid residual")
+
+    m = _flax_unet(cfg)
+    got = m.apply(
+        {"params": un_tree}, jnp.asarray(nchw_to_nhwc(sample9)),
+        jnp.asarray(to_np(t)), jnp.asarray(to_np(ctx)),
+        down_block_additional_residuals=fd,
+        mid_block_additional_residual=fm,
+    )
+    assert_close(got, want, msg="ControlNet-injected UNet forward")
