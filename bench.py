@@ -57,13 +57,10 @@ def main() -> None:
 
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
-    quantize = os.environ.get("POWERPAINT_BENCH_QUANTIZE") or None
     if which == "v2":
-        pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16,
-                                quantize=quantize)
+        pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
     else:
-        pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16,
-                               quantize=quantize)
+        pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     image = (rng.rand(512, 512, 3) * 255).astype(np.uint8)
@@ -121,7 +118,7 @@ def main() -> None:
     t0 = time.time()
     run(10)
     compile_10 = time.time() - t0
-    if platform == "tpu" and not aot_loaded and not quantize:
+    if platform == "tpu" and not aot_loaded:
         try:
             os.makedirs(aot_dir, exist_ok=True)
             run(20)  # make the 20-step call the dispatcher's last
@@ -179,9 +176,7 @@ def main() -> None:
         aot_dir, f"ppt_{other_which}_512_b1{'_im2col' if im2col else ''}.aot"
     )
     want_full = os.environ.get("POWERPAINT_BENCH_FULL") == "1"
-    if platform == "tpu" and not quantize and (
-        os.path.exists(other_aot) or want_full
-    ):
+    if platform == "tpu" and (os.path.exists(other_aot) or want_full):
         try:
             other.update(_bench_other(other_which, other_aot, image, mask))
         except Exception:

@@ -259,7 +259,7 @@ class AotPipelineMixin:
             f"quant={getattr(self, 'quantize', None)}"
             f",im2col={os.environ.get('POWERPAINT_CONV_IM2COL', '0')}"
             f",sp={getattr(self, 'sequence_parallel', False)}"
-            f",fusednorms={os.environ.get('POWERPAINT_FUSED_NORMS', '1')}"
+            f",fusednorms={os.environ.get('POWERPAINT_FUSED_NORMS', '0')}"
         )
 
     def aot_dump(self, path: str, validate: bool = True):

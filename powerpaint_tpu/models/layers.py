@@ -53,10 +53,7 @@ def _im2col_wanted() -> bool:
 
 class Conv2D(nn.Module):
     """NHWC conv, drop-in for ``nn.Conv`` (same param names/shapes/init and
-    bit-identical float compute), plus an experimental W8A8 int8 compute
-    mode: under ``ops.int8.quantized()`` large convs run as
-    dynamic-quantized int8 MXU ops (see ops/int8.py for measured
-    end-to-end numbers — currently slower; off by default).
+    bit-identical float compute).
 
     POWERPAINT_CONV_IM2COL=1 reformulates small-spatial stride-1 3x3 SAME
     convs as explicit im2col + one GEMM: on v5e at the UNet's 16x16x1280 /
@@ -74,8 +71,6 @@ class Conv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from powerpaint_tpu.ops import int8
-
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -86,11 +81,7 @@ class Conv2D(nn.Module):
                        self.param_dtype)
             if self.use_bias else None
         )
-        n_rows = x.shape[0] * x.shape[1] * x.shape[2]
-        if int8.enabled() and n_rows >= int8.MIN_ROWS:
-            y = int8.int8_conv(x, kernel, self.strides, self.padding)
-            y = y.astype(self.dtype)
-        elif (
+        if (
             _im2col_wanted()
             and (kh, kw) == (3, 3)
             and self.strides == (1, 1)
@@ -122,8 +113,8 @@ class Conv2D(nn.Module):
 
 
 class DenseGeneral(nn.Module):
-    """Drop-in for ``nn.Dense`` (same params, bit-identical float compute)
-    with the W8A8 int8 mode of :class:`Conv2D` for large matmuls."""
+    """Drop-in for ``nn.Dense`` (same params, bit-identical float
+    compute)."""
 
     features: int
     use_bias: bool = True
@@ -132,8 +123,6 @@ class DenseGeneral(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from powerpaint_tpu.ops import int8
-
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (x.shape[-1], self.features), self.param_dtype,
@@ -143,16 +132,10 @@ class DenseGeneral(nn.Module):
                        self.param_dtype)
             if self.use_bias else None
         )
-        n_rows = 1
-        for d in x.shape[:-1]:
-            n_rows *= d
-        if int8.enabled() and n_rows >= int8.MIN_ROWS:
-            y = int8.int8_matmul(x, kernel).astype(self.dtype)
-        else:
-            y = jax.lax.dot_general(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                (((x.ndim - 1,), (0,)), ((), ())),
-            )
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+        )
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

@@ -19,9 +19,13 @@ import jax.numpy as jnp
 
 
 # fused-kernel gate: the Pallas GroupNorm holds one batch element's whole
-# feature map in VMEM; above this element count (fp32 working set > ~64MB)
-# fall back to the XLA formulation (giant outpaint canvases, VAE maps)
-_FUSE_LIMIT = 8 * 1024 * 1024
+# feature map in VMEM with double buffering across the batch grid; above
+# this element count fall back to the XLA formulation (VAE feature maps,
+# giant outpaint canvases).  2M elements = 4MB bf16 window, 16MB with
+# in+out double buffering — measured safe alongside the rest of the
+# pipeline's scoped VMEM (8M blew the budget inside AutoencoderKL.encode
+# at batch 4).
+_FUSE_LIMIT = 2 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -32,9 +36,17 @@ def _on_tpu() -> bool:
 
 
 def _fused_wanted() -> bool:
+    # DEFAULT OFF — measured end-to-end REGRESSION (v1 23.7 -> 36.7
+    # ms/step): inside the compiled pipeline XLA fuses the two-pass norm
+    # into the neighboring convs/GEMMs for near-zero marginal cost, while
+    # a pallas custom call is an optimization barrier that forces an HBM
+    # materialization on both sides (~0.13 ms x ~100 norm sites).  The
+    # isolated-op micro-benchmarks (scripts/perf_norms.py, +4-7%) cannot
+    # see fusion context — trust end-to-end numbers.  Kept as an opt-in
+    # for future XLA versions.
     import os
 
-    return os.environ.get("POWERPAINT_FUSED_NORMS", "1") == "1"
+    return os.environ.get("POWERPAINT_FUSED_NORMS", "0") == "1"
 
 
 def group_norm(

@@ -52,9 +52,6 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
     # multi-chip serving (see pipelines/inpaint.py): batch over "data",
     # transformer weights over "model"
     mesh: "Optional[object]" = None
-    # "int8": W8A8 dynamic-quantized convs/projections in BOTH UNet-scale
-    # forwards (base + branch) — see pipelines/inpaint.py
-    quantize: Optional[str] = None
     # sequence-parallel mode for one huge canvas on a mesh: latent rows
     # sharded over "data", ring attention on long self-attention in BOTH
     # the base UNet and the BrushNet branch (see pipelines/inpaint.py)
@@ -66,11 +63,6 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
         assert cfg.brushnet is not None
         self.unet = UNet2DConditionModel(cfg.unet, dtype=self.dtype)
         self.brushnet = BrushNetModel(cfg.brushnet, dtype=self.dtype)
-        if self.quantize == "int8":
-            from powerpaint_tpu.ops import int8
-
-            self.unet = int8.quantize_module(self.unet)
-            self.brushnet = int8.quantize_module(self.brushnet)
         self.vae = AutoencoderKL(cfg.vae, dtype=self.dtype)
         self.text_task = CLIPTextModel(cfg.text_encoder, dtype=self.dtype)
         self.text_plain = CLIPTextModel(

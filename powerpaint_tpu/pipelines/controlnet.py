@@ -49,10 +49,6 @@ class ControlNetPipeline(InpaintPipeline):
         self.controlnet = ControlNetModel(
             self.config.controlnet, dtype=self.dtype
         )
-        if self.quantize == "int8":
-            from powerpaint_tpu.ops import int8
-
-            self.controlnet = int8.quantize_module(self.controlnet)
         statics = ("num_steps", "strength_steps", "out_uint8", "eta",
                    "sampler", "guess_mode", "clip_skip", "with_callback")
         if self.mesh is not None:

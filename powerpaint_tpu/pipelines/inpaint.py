@@ -52,11 +52,6 @@ class InpaintPipeline(AotPipelineMixin, LoraMixin):
     # pipeline_PowerPaint.py:1039; off by default per SURVEY.md §7).
     # Set at construction — it is baked into the compiled program.
     step_callback: "Optional[object]" = None
-    # "int8": run the UNet's convs/projections as W8A8 dynamic-quantized
-    # int8 MXU ops (ops/int8.py — EXPERIMENTAL, measured slower end-to-end
-    # on the current XLA stack; see that module's docstring).  Opt-in
-    # approximation — norms, softmax, schedulers, VAE stay bf16/fp32.
-    quantize: Optional[str] = None
     # sequence-parallel (context-parallel) mode for ONE huge canvas on a
     # mesh (SURVEY.md §5.7: 4x outpaint -> 2048px -> 65k latent tokens):
     # instead of sharding the batch, shard latent ROWS over the data axis;
@@ -69,10 +64,6 @@ class InpaintPipeline(AotPipelineMixin, LoraMixin):
     def __post_init__(self):
         cfg = self.config
         self.unet = UNet2DConditionModel(cfg.unet, dtype=self.dtype)
-        if self.quantize == "int8":
-            from powerpaint_tpu.ops import int8
-
-            self.unet = int8.quantize_module(self.unet)
         self.vae = AutoencoderKL(cfg.vae, dtype=self.dtype)
         self.text_encoder = CLIPTextModel(cfg.text_encoder, dtype=self.dtype)
         if self.mesh is not None:
