@@ -274,3 +274,54 @@ def test_load_safety_checker(tmp_path):
         np.uint8)
     flags = checker(imgs)
     assert isinstance(flags[0], bool)
+
+
+def test_http_server_first_request_hook(pipe):
+    """--aot-cache serve-mode contract (ADVICE round 2): the
+    on_first_success hook fires exactly once, after the first successful
+    request, and never fails a request."""
+    import threading as _threading
+
+    from powerpaint_tpu.serve.app import make_server
+
+    calls = []
+    server = make_server(pipe, port=0,
+                         on_first_success=lambda: calls.append(1))
+    port = server.server_address[1]
+    t = _threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        payload = {
+            "image_b64": _png_b64(img),
+            "mask_b64": _png_b64(mask),
+            "prompt": "a dog",
+            "steps": 2,
+            "short_side": 64,
+        }
+
+        # a FAILED request must not consume the hook
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(bad)
+        assert calls == []
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            r.read()
+        assert calls == [1]
+        with urllib.request.urlopen(req) as r:
+            r.read()
+        assert calls == [1]  # only once
+    finally:
+        server.shutdown()
