@@ -29,6 +29,12 @@ import numpy as np
 
 logger = logging.getLogger("powerpaint_tpu.aot")
 
+# Bump when a kernel/code change alters the compiled program without
+# changing any argument shape or env knob (e.g. flash-attention block
+# retunes) — stale serialized executables must not silently serve the old
+# program.  Part of the compute-mode tag below.
+KERNEL_REV = 3
+
 # v2 layout: magic line, 8-byte little-endian JSON-header length, JSON
 # header (validated BEFORE any unpickling — .aot files are trusted local
 # artifacts, but corrupt/mismatched ones must fail at the header, not
@@ -260,6 +266,7 @@ class AotPipelineMixin:
             f",im2col={os.environ.get('POWERPAINT_CONV_IM2COL', '0')}"
             f",sp={getattr(self, 'sequence_parallel', False)}"
             f",fusednorms={os.environ.get('POWERPAINT_FUSED_NORMS', '0')}"
+            f",rev={KERNEL_REV}"
         )
 
     def aot_dump(self, path: str, validate: bool = True):

@@ -165,12 +165,14 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: Optional[float] = None,
-    block_q: int = 2048,
-    block_kv: int = 1024,
+    block_q: int = 1024,
+    block_kv: int = 2048,
     debug_interpret: bool = False,
 ) -> jax.Array:
-    # default blocks tuned on v5e at SD1.5 shapes (S=4096, D=40): ~54 TFLOP/s,
-    # at the D-padding ceiling; see scripts/perf_attn*.py sweeps
+    # default blocks re-tuned round 3 on v5e (scripts/perf_attn5.py sweep
+    # of the VPU-lean kernel at S=4096, D=40): q1024/kv2048 measures
+    # 1.48 ms/op at CFG-2 and 6.01 at CFG-8, vs 1.53/6.31 for the old
+    # q2048/kv1024 — the kernel plateaus ~29 TF/s (VPU softmax floor)
     """Flash attention over (B, S, N, D) tensors (non-causal)."""
     b, sq, n, d = q.shape
     _, skv, _, _ = k.shape
