@@ -39,11 +39,12 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+from powerpaint_tpu.pipelines.async_dispatch import AsyncDispatchMixin, finish
 from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class BrushNetPipeline(AotPipelineMixin, LoraMixin):
+class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
     config: PowerPaintConfig
     params: dict  # unet, vae, brushnet, text_encoder (plain),
     #               text_encoder_brushnet (task tokens)
@@ -626,4 +627,4 @@ class BrushNetPipeline(AotPipelineMixin, LoraMixin):
             int(clip_skip),
             callback is not None,
         )
-        return np.asarray(out)
+        return finish(out)

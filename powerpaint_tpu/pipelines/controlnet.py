@@ -27,6 +27,7 @@ import numpy as np
 
 from powerpaint_tpu import schedulers as sched_registry
 from powerpaint_tpu.io.aot import AotDispatcher
+from powerpaint_tpu.pipelines.async_dispatch import finish
 from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim
@@ -494,7 +495,7 @@ class ControlNetPipeline(InpaintPipeline):
             int(clip_skip),
             self._active_callback is not None,
         )
-        return np.asarray(out)
+        return finish(out)
 
     def _call_multi(
         self, images, masks, control_images, prompts, negative_prompt,
@@ -618,4 +619,4 @@ class ControlNetPipeline(InpaintPipeline):
             int(clip_skip),
             self._active_callback is not None,
         )
-        return np.asarray(out)
+        return finish(out)

@@ -34,11 +34,12 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
+from powerpaint_tpu.pipelines.async_dispatch import AsyncDispatchMixin, finish
 from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class InpaintPipeline(AotPipelineMixin, LoraMixin):
+class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
     config: PowerPaintConfig
     params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
     tokenizer: TokenizerWrapper
@@ -580,7 +581,7 @@ class InpaintPipeline(AotPipelineMixin, LoraMixin):
                 int(clip_skip),
                 with_cb,
             )
-            out = np.asarray(out)
+            out = finish(out)
         _telemetry.count("images", out.shape[0])
         _telemetry.count("denoise_steps", strength_steps)
         return out

@@ -7,6 +7,8 @@ the same four tasks:
     GET  /            minimal HTML form
     GET  /health      {"status": "ok"}
     POST /inpaint     JSON {image_b64, mask_b64, prompt, task, ...} -> PNG
+                      (num_images > 1 -> JSON {"images": [png_b64, ...]},
+                      the HTTP form of the reference's result gallery)
 
 Requests are serialized through a lock (the reference equivalently
 serializes via ``demo.queue()``, app.py:748).
@@ -24,11 +26,12 @@ _HTML = """<!doctype html>
 <h1>PowerPaint-TPU inpainting</h1>
 <p>POST JSON to /inpaint with fields: image_b64, mask_b64, prompt, task
 (text-guided | shape-guided | object-removal | image-outpainting),
-fitting_degree, steps, guidance_scale, seed.</p>
+fitting_degree, steps, guidance_scale, seed, num_images.</p>
 """
 
 
-def _run_request(pipe, payload: dict) -> bytes:
+def _run_request(pipe, payload: dict) -> tuple:
+    """Returns ``(content_type, body_bytes)``."""
     import numpy as np
     from PIL import Image
 
@@ -111,6 +114,9 @@ def _run_request(pipe, payload: dict) -> bytes:
             io.BytesIO(base64.b64decode(payload["ip_adapter_image_b64"]))
         ))
 
+    n_images = int(payload.get("num_images", 1))
+    if n_images > 1:
+        extra["num_images_per_prompt"] = n_images
     out = pipe(
         image, mask,
         prompt=payload.get("prompt", ""),
@@ -122,14 +128,26 @@ def _run_request(pipe, payload: dict) -> bytes:
         seed=int(payload.get("seed", 0)),
         **extra,
     )
-    final = blend_result(out[0], image, mask)
-    if orig_hw is not None:
-        from powerpaint_tpu.tasks.preprocess import crop_from_bucket
 
-        final = crop_from_bucket(final, orig_hw)
-    buf = io.BytesIO()
-    Image.fromarray(final).save(buf, format="PNG")
-    return buf.getvalue()
+    def _to_png(result) -> bytes:
+        final = blend_result(result, image, mask)
+        if orig_hw is not None:
+            from powerpaint_tpu.tasks.preprocess import crop_from_bucket
+
+            final = crop_from_bucket(final, orig_hw)
+        buf = io.BytesIO()
+        Image.fromarray(final).save(buf, format="PNG")
+        return buf.getvalue()
+
+    if n_images > 1:  # the HTTP form of the reference's result gallery
+        body = json.dumps({
+            "images": [
+                base64.b64encode(_to_png(out[i])).decode()
+                for i in range(out.shape[0])
+            ]
+        }).encode()
+        return "application/json", body
+    return "image/png", _to_png(out[0])
 
 
 class _BatchedPipe:
@@ -141,6 +159,9 @@ class _BatchedPipe:
         self._batcher = batcher
 
     def __call__(self, image, mask, **kwargs):
+        if kwargs.get("num_images_per_prompt", 1) > 1:
+            # multi-image requests carry their own batch; run directly
+            return self._batcher.pipe(image, mask, **kwargs)
         return self._batcher.submit(image, mask, **kwargs)[None]
 
 
@@ -204,13 +225,13 @@ def make_server(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n))
-                png = run(payload)
+                ctype, body = run(payload)
                 _maybe_first_hook()
                 self.send_response(200)
-                self.send_header("Content-Type", "image/png")
-                self.send_header("Content-Length", str(len(png)))
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                self.wfile.write(png)
+                self.wfile.write(body)
             except KeyError as e:
                 body = json.dumps({"error": f"missing field {e}"}).encode()
                 self.send_response(400)

@@ -78,26 +78,60 @@ class _Pending:
         )
 
 
+class _SyncPending:
+    """Adapter for pipelines without an async ``submit`` surface: the call
+    already completed synchronously; ``result()`` just hands it back."""
+
+    def __init__(self, out):
+        self._out = out
+
+    def result(self):
+        return self._out
+
+
 class MicroBatcher:
     """submit() blocks until the request's image is ready.
 
     Only eta==0 requests batch with each other (the DDIM eta noise stream
     is keyed per call, not per image); eta>0 requests run alone.
+
+    Request pipelining (pipelines/async_dispatch.py): the worker thread
+    dispatches each batch asynchronously and hands the pending result to a
+    fetcher thread, then immediately assembles + dispatches the NEXT batch
+    — host preprocessing and the host->device upload of request N+1 overlap
+    request N's device compute.  ``pipeline_depth`` bounds in-flight
+    batches (device output buffers) — the reference has no equivalent
+    (eager torch serializes upload/compute/download per request).
     """
 
-    def __init__(self, pipe, max_batch: int = 8, window_ms: float = 20.0):
+    def __init__(self, pipe, max_batch: int = 8, window_ms: float = 20.0,
+                 pipeline_depth: int = 2):
         self.pipe = pipe
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        # (batch, pending) pairs awaiting device completion; bounded so a
+        # fast dispatcher cannot pile device buffers
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=max(1, pipeline_depth)
+        )
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._fetcher = threading.Thread(target=self._fetch_worker,
+                                         daemon=True)
+        self._fetcher.start()
 
     def close(self):
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._thread.join(timeout=5)
+        try:  # wake the fetcher (bounded wait: in-flight batches drain
+            # as the device finishes them; don't hang on a wedged device)
+            self._inflight.put(None, timeout=60)
+        except queue.Full:
+            pass
+        self._fetcher.join(timeout=5)
 
     # ------------------------------------------------------------- client
 
@@ -146,18 +180,24 @@ class MicroBatcher:
                 continue
             batch = self._collect(first)
             try:
-                self._run(batch)
+                pending = self._dispatch(batch)
             except BaseException as e:  # propagate to every waiter
                 for r in batch:
                     r.error = e
                     r.event.set()
+                continue
+            # hand to the fetcher; blocks only when pipeline_depth batches
+            # are already executing on the device
+            self._inflight.put((batch, pending))
 
-    def _run(self, batch: List[_Pending]):
+    def _dispatch(self, batch: List[_Pending]):
+        """Assemble + dispatch one batched generate; no result fetch."""
+        submit = getattr(self.pipe, "submit", None)
         if len(batch) == 1:
             r = batch[0]
-            r.result = self.pipe(r.image, r.mask, **r.kwargs)[0]
-            r.event.set()
-            return
+            if submit is None:
+                return _SyncPending(self.pipe(r.image, r.mask, **r.kwargs))
+            return submit(r.image, r.mask, **r.kwargs)
         k0 = batch[0].kwargs
         call = {name: k0[name] for name in SHARED if name in k0}
         for name in PER_REQUEST:
@@ -169,9 +209,24 @@ class MicroBatcher:
             call["control_image"] = [
                 r.kwargs["control_image"] for r in batch
             ]
-        out = self.pipe(
-            [r.image for r in batch], [r.mask for r in batch], **call
-        )
-        for i, r in enumerate(batch):
-            r.result = out[i]
-            r.event.set()
+        images = [r.image for r in batch]
+        masks = [r.mask for r in batch]
+        if submit is None:
+            return _SyncPending(self.pipe(images, masks, **call))
+        return submit(images, masks, **call)
+
+    def _fetch_worker(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, pending = item
+            try:
+                out = pending.result()
+                for i, r in enumerate(batch):
+                    r.result = out[i]
+                    r.event.set()
+            except BaseException as e:
+                for r in batch:
+                    r.error = e
+                    r.event.set()

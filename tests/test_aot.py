@@ -169,6 +169,28 @@ def test_mode_guard(tmp_path):
         load(path, expect_mode="quant=int8,im2col=0,sp=False")
 
 
+def test_kernel_rev_guard(tmp_path, monkeypatch):
+    """A kernel-revision bump (a code change that alters compiled programs
+    without changing any signature or env knob, e.g. a flash-attention
+    block retune) must invalidate previously dumped executables."""
+    from powerpaint_tpu.io import aot as aot_mod
+    from powerpaint_tpu.io.aot import AotPipelineMixin
+
+    class P(AotPipelineMixin):
+        quantize = None
+        sequence_parallel = False
+
+    old_mode = P()._aot_mode()
+    assert f"rev={aot_mod.KERNEL_REV}" in old_mode
+    jitted = jax.jit(lambda x: x * 2)
+    path = str(tmp_path / "r.aot")
+    dump(jitted, path, jnp.ones((4,)), mode=old_mode)
+
+    monkeypatch.setattr(aot_mod, "KERNEL_REV", aot_mod.KERNEL_REV + 1)
+    with pytest.raises(RuntimeError, match="compute mode"):
+        load(path, expect_mode=P()._aot_mode())
+
+
 def test_pipeline_aot_roundtrip(tmp_path):
     from powerpaint_tpu.io.params import init_params
     from powerpaint_tpu.pipelines.inpaint import InpaintPipeline

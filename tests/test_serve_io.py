@@ -325,3 +325,47 @@ def test_http_server_first_request_hook(pipe):
         assert calls == [1]  # only once
     finally:
         server.shutdown()
+
+
+def test_http_num_images_gallery(pipe):
+    """num_images > 1 returns the JSON gallery form (reference result
+    gallery, app.py:731-744): one PNG per image, per-image seeds."""
+    from powerpaint_tpu.serve.app import make_server
+
+    server = make_server(pipe, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        payload = {
+            "image_b64": _png_b64(img),
+            "mask_b64": _png_b64(mask),
+            "prompt": "a dog",
+            "task": "text-guided",
+            "steps": 2,
+            "short_side": 64,
+            "num_images": 2,
+            "seed": 9,
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inpaint",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "application/json"
+            body = json.loads(r.read())
+        assert len(body["images"]) == 2
+        ims = [
+            np.asarray(Image.open(io.BytesIO(base64.b64decode(b))))
+            for b in body["images"]
+        ]
+        assert ims[0].shape == ims[1].shape
+        # per-image seeds: the two gallery entries differ inside the mask
+        assert not np.array_equal(ims[0], ims[1])
+    finally:
+        server.shutdown()
