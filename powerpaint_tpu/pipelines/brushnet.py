@@ -84,7 +84,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             self._encode_ip_image = jax.jit(
                 lambda p, x: enc.apply({"params": p}, x)
             )
-        statics = ("num_steps", "out_uint8", "guess_mode",
+        statics = ("num_steps", "out_mode", "guess_mode",
                    "branch_cache_interval", "clip_skip", "with_callback")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -145,7 +145,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         ip_embeds: Optional[jnp.ndarray],
         ip_scale: jnp.ndarray,
         num_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         guess_mode: bool = False,
         branch_cache_interval: int = 1,
         clip_skip: int = 0,
@@ -160,7 +160,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
                 params, ids_task, ids_plain, tradoff, tradoff_nag,
                 image_u8, mask_u8, guidance_scale, cond_scale_table, seeds,
                 latents_in, pos_t_in, neg_t_in, ip_embeds, ip_scale,
-                num_steps, out_uint8, guess_mode, branch_cache_interval,
+                num_steps, out_mode, guess_mode, branch_cache_interval,
                 clip_skip, with_callback,
             )
 
@@ -182,7 +182,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         ip_embeds: Optional[jnp.ndarray],  # (2B, ip_dim) [uncond | cond]
         ip_scale: jnp.ndarray,
         num_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         guess_mode: bool = False,
         branch_cache_interval: int = 1,
         clip_skip: int = 0,
@@ -359,12 +359,14 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             body, (latents, state, cache0), jnp.arange(sched.num_steps)
         )
 
+        if out_mode == "latent":  # diffusers output_type="latent" contract
+            return latents.astype(jnp.float32)
         image = self.vae.apply(
             {"params": params["vae"]},
             (latents / self.config.vae.scaling_factor).astype(self.dtype),
             method="decode",
         )
-        if out_uint8:
+        if out_mode == "uint8":
             img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(img01 * 255.0).astype(jnp.uint8)
         return image.astype(jnp.float32)
@@ -431,6 +433,8 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         negative_prompt_embeds: Optional[np.ndarray] = None,
         callback=None,
         callback_steps: int = 1,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
     ):
         """``ip_adapter_image_embeds``: raw CLIP image embeds, shape
         (ip_adapter_dim,) or (B, ip_adapter_dim) — the reference's
@@ -440,11 +444,23 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         (:650-654). Requires params converted with io.convert
         ``convert_ip_adapter`` merged into the UNet tree."""
         from powerpaint_tpu.core.validation import (
+            InputValidationError,
             check_call_args,
             check_image_mask,
         )
 
+        if output_type not in ("uint8", "float32", "latent"):
+            raise InputValidationError(
+                f"output_type must be uint8 | float32 | latent, got "
+                f"{output_type!r}"
+            )
         multi = isinstance(prompt, (list, tuple))
+        if height is not None or width is not None:
+            from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+            image, mask = InpaintPipeline._apply_target_hw(
+                image, mask, height, width, multi
+            )
         prompts = list(prompt) if multi else [prompt]
         negatives = (
             list(negative_prompt)
@@ -621,7 +637,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
              if isinstance(ip_adapter_scale, (list, tuple))
              else jnp.float32(ip_adapter_scale)),
             num_inference_steps,
-            output_type == "uint8",
+            output_type,
             guess_mode,
             int(branch_cache_interval),
             int(clip_skip),

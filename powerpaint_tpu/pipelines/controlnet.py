@@ -50,7 +50,7 @@ class ControlNetPipeline(InpaintPipeline):
         self.controlnet = ControlNetModel(
             self.config.controlnet, dtype=self.dtype
         )
-        statics = ("num_steps", "strength_steps", "out_uint8", "eta",
+        statics = ("num_steps", "strength_steps", "out_mode", "eta",
                    "sampler", "guess_mode", "clip_skip", "with_callback")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -111,7 +111,7 @@ class ControlNetPipeline(InpaintPipeline):
         neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         eta: float = 0.0,
         sampler: str = "ddim",
         guess_mode: bool = False,
@@ -127,7 +127,7 @@ class ControlNetPipeline(InpaintPipeline):
                 params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
                 control_u8, guidance_scale, cond_scale_table, seeds,
                 latents_in, pos_embeds_in, neg_embeds_in, num_steps,
-                strength_steps, out_uint8, eta, sampler, guess_mode,
+                strength_steps, out_mode, eta, sampler, guess_mode,
                 clip_skip, with_callback,
             )
 
@@ -148,7 +148,7 @@ class ControlNetPipeline(InpaintPipeline):
         neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         eta: float = 0.0,
         sampler: str = "ddim",
         guess_mode: bool = False,
@@ -289,12 +289,14 @@ class ControlNetPipeline(InpaintPipeline):
         (latents, _), _ = jax.lax.scan(
             body, (latents, state), jnp.arange(sched.num_steps)
         )
+        if out_mode == "latent":  # diffusers output_type="latent" contract
+            return latents.astype(jnp.float32)
         image = self.vae.apply(
             {"params": params["vae"]},
             (latents / self.config.vae.scaling_factor).astype(self.dtype),
             method="decode",
         )
-        if out_uint8:
+        if out_mode == "uint8":
             img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(img01 * 255.0).astype(jnp.uint8)
         return image.astype(jnp.float32)
@@ -327,8 +329,17 @@ class ControlNetPipeline(InpaintPipeline):
         negative_prompt_embeds: Optional[np.ndarray] = None,
         callback=None,
         callback_steps: int = 1,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
         **kwargs,
     ):
+        if output_type not in ("uint8", "float32", "latent"):
+            from powerpaint_tpu.core.validation import InputValidationError
+
+            raise InputValidationError(
+                f"output_type must be uint8 | float32 | latent, got "
+                f"{output_type!r}"
+            )
         if control_image is None:
             # no-control path == plain v1 (reference predict_woControl)
             return super().__call__(
@@ -341,8 +352,29 @@ class ControlNetPipeline(InpaintPipeline):
                 latents=latents, output_type=output_type,
                 clip_skip=clip_skip, prompt_embeds=prompt_embeds,
                 negative_prompt_embeds=negative_prompt_embeds,
-                callback=callback, callback_steps=callback_steps, **kwargs,
+                callback=callback, callback_steps=callback_steps,
+                height=height, width=width, **kwargs,
             )
+        if height is not None or width is not None:
+            from powerpaint_tpu.tasks.preprocess import resize_to
+
+            multi_hw = isinstance(prompt, (list, tuple))
+            image, mask = self._apply_target_hw(image, mask, height, width,
+                                                multi_hw)
+            # control maps resize with the canvas (single-request form;
+            # the multi form requires pre-sized inputs)
+            if not multi_hw:
+                cs = (list(control_image)
+                      if isinstance(control_image, (list, tuple))
+                      else [control_image])
+                cs = [
+                    resize_to(to_numpy_image(c), None, int(height),
+                              int(width))[0]
+                    for c in cs
+                ]
+                control_image = (
+                    cs if isinstance(control_image, (list, tuple)) else cs[0]
+                )
 
         from powerpaint_tpu.core.validation import (
             InputValidationError,
@@ -488,7 +520,7 @@ class ControlNetPipeline(InpaintPipeline):
             # statics positionally: pjit rejects kwargs with in_shardings
             num_inference_steps,
             strength_steps,
-            output_type == "uint8",
+            output_type,
             float(eta),
             scheduler,
             guess_mode,
@@ -612,7 +644,7 @@ class ControlNetPipeline(InpaintPipeline):
             None,
             num_inference_steps,
             strength_steps,
-            output_type == "uint8",
+            output_type,
             float(eta),
             scheduler,
             guess_mode,

@@ -82,7 +82,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             self.params = jax.device_put(self.params, p_shard)
             batch = NamedSharding(self.mesh, P(DATA_AXIS))
             repl = NamedSharding(self.mesh, P())
-            statics = ("num_steps", "strength_steps", "out_uint8", "eta",
+            statics = ("num_steps", "strength_steps", "out_mode", "eta",
                        "sampler", "encoder_cache_interval", "clip_skip",
                        "with_callback")
             if self.sequence_parallel:
@@ -109,7 +109,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         else:
             self._generate = jax.jit(
                 self._generate_fn,
-                static_argnames=("num_steps", "strength_steps", "out_uint8",
+                static_argnames=("num_steps", "strength_steps", "out_mode",
                                  "eta", "sampler", "encoder_cache_interval",
                                  "clip_skip", "with_callback"),
             )
@@ -255,7 +255,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         neg_embeds_in: Optional[jnp.ndarray],
         num_steps: int,
         strength_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         eta: float = 0.0,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
@@ -270,7 +270,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             return self._generate_fn(
                 params, ids, tradoff, tradoff_nag, image_u8, mask_u8,
                 guidance_scale, seeds, latents_in, pos_embeds_in,
-                neg_embeds_in, num_steps, strength_steps, out_uint8, eta,
+                neg_embeds_in, num_steps, strength_steps, out_mode, eta,
                 sampler, encoder_cache_interval, clip_skip, with_callback,
             )
 
@@ -289,7 +289,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         neg_embeds_in: Optional[jnp.ndarray],  # (B|1, 77, D) passthrough
         num_steps: int,
         strength_steps: int,
-        out_uint8: bool = True,
+        out_mode: str = "uint8",
         eta: float = 0.0,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
@@ -389,6 +389,11 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             with_callback=with_callback,
         )
 
+        if out_mode == "latent":
+            # raw denoised latents, undecoded (diffusers output_type=
+            # "latent" contract, pipeline_PowerPaint.py:1044-1055): feed
+            # back via the latents= argument for chained refinement
+            return latents.astype(jnp.float32)
         z = (latents / self.config.vae.scaling_factor).astype(self.dtype)
         if self.config.vae.asymmetric:
             # AsymmetricAutoencoderKL decode-with-condition (reference
@@ -403,12 +408,43 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             image = self.vae.apply(
                 {"params": params["vae"]}, z, method="decode"
             )
-        if out_uint8:
+        if out_mode == "uint8":
             img01 = jnp.clip(image.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(img01 * 255.0).astype(jnp.uint8)
         return image.astype(jnp.float32)
 
     # ----------------------------------------------------------------- host
+
+    @staticmethod
+    def _apply_target_hw(image, mask, height, width, multi):
+        """Resolve the reference ``height``/``width`` call arguments: both
+        must be given together; single-request form only (the batched
+        serving form requires pre-sized inputs — shapes are the compile
+        key)."""
+        from powerpaint_tpu.core.validation import InputValidationError
+        from powerpaint_tpu.tasks.preprocess import (
+            resize_to,
+            to_numpy_image,
+            to_numpy_mask,
+        )
+
+        if height is None or width is None:
+            raise InputValidationError(
+                "height and width must be provided together"
+            )
+        if multi and isinstance(image, (list, tuple)):
+            pairs = [
+                resize_to(to_numpy_image(im), to_numpy_mask(m),
+                          int(height), int(width))
+                for im, m in zip(image, mask)
+            ]
+            return [p[0] for p in pairs], [p[1] for p in pairs]
+        img, m = resize_to(
+            to_numpy_image(image),
+            None if mask is None else to_numpy_mask(mask),
+            int(height), int(width),
+        )
+        return img, m
 
     def encode_task(self, prompts: TaskPrompts) -> np.ndarray:
         return self.tokenizer(
@@ -443,6 +479,8 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         negative_prompt_embeds: Optional[np.ndarray] = None,
         callback=None,
         callback_steps: int = 1,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
     ):
         """Full inpainting call (reference __call__ surface,
         pipeline_PowerPaint.py:978-1071 + app.py predict routing).
@@ -460,6 +498,11 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         from powerpaint_tpu.tasks.preprocess import to_numpy_image, to_numpy_mask
 
         multi = isinstance(prompt, (list, tuple))
+        if height is not None or width is not None:
+            # reference height/width call args (pipeline_PowerPaint.py:
+            # 729-730): resize inputs to the exact target resolution
+            image, mask = self._apply_target_hw(image, mask, height, width,
+                                                multi)
         prompts = list(prompt) if multi else [prompt]
         negatives = (
             list(negative_prompt)
@@ -539,7 +582,13 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         strength_steps = min(
             int(num_inference_steps * strength), num_inference_steps
         )
-        out_uint8 = output_type == "uint8"
+        from powerpaint_tpu.core.validation import InputValidationError
+
+        if output_type not in ("uint8", "float32", "latent"):
+            raise InputValidationError(
+                f"output_type must be uint8 | float32 | latent, got "
+                f"{output_type!r}"
+            )
 
         def norm_embeds(e):
             if e is None:
@@ -574,7 +623,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
                 norm_embeds(negative_prompt_embeds),
                 num_inference_steps,
                 strength_steps,
-                out_uint8,
+                output_type,
                 float(eta),
                 scheduler,
                 int(encoder_cache_interval),

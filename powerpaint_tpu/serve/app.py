@@ -69,10 +69,18 @@ def _run_request(pipe, payload: dict) -> tuple:
     image = crop_to_multiple_of_8(image)
     mask = mask[: image.shape[0], : image.shape[1]]
 
+    # exact target resolution (reference height/width call args): resize
+    # here so compositing sees the same canvas; disables bucketing
+    if "height" in payload and "width" in payload:
+        from powerpaint_tpu.tasks.preprocess import resize_to
+
+        image, mask = resize_to(image, mask, int(payload["height"]),
+                                int(payload["width"]))
+
     # pad to 64px size buckets by default: every distinct shape compiles a
     # new XLA program (minutes); disable with {"bucket": false}
     orig_hw = None
-    if payload.get("bucket", True):
+    if payload.get("bucket", True) and "height" not in payload:
         from powerpaint_tpu.tasks.preprocess import pad_to_bucket
 
         image, mask, orig_hw = pad_to_bucket(image, mask)

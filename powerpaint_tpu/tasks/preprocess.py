@@ -162,3 +162,30 @@ def premask_image_v2(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
     (app.py:342-345)."""
     m = (mask >= 0.5).astype(np.float32)[..., None]
     return (image.astype(np.float32) * (1.0 - m)).astype(np.uint8)
+
+
+def resize_to(image: np.ndarray, mask, height: int, width: int):
+    """Resize an image (and optionally its mask) to an exact (height,
+    width) — the reference pipelines' ``height``/``width`` call arguments
+    (pipeline_PowerPaint.py:729-730, resolved via the diffusers image
+    processor).  LANCZOS for the image, NEAREST for the {0,1} mask.
+    Both dimensions must be multiples of 8 (latent grid)."""
+    from PIL import Image
+
+    if height % 8 or width % 8:
+        from powerpaint_tpu.core.validation import InputValidationError
+
+        raise InputValidationError(
+            f"height/width must be multiples of 8, got {height}x{width}"
+        )
+    img = np.asarray(
+        Image.fromarray(image).resize((width, height), Image.LANCZOS)
+    )
+    if mask is None:
+        return img, None
+    m = np.asarray(
+        Image.fromarray((np.asarray(mask) * 255).astype(np.uint8)).resize(
+            (width, height), Image.NEAREST
+        )
+    ).astype(np.float32) / 255.0
+    return img, m

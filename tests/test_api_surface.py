@@ -152,3 +152,83 @@ def test_v2_surface(img_mask):
     e1 = pipe(img, mask, prompt="x", num_inference_steps=2, seed=3,
               prompt_embeds=emb, negative_prompt_embeds=emb * 0)
     assert (e1 != a).any()
+
+
+def test_v1_output_type_latent(v1, img_mask):
+    """output_type='latent' returns undecoded denoised latents (reference
+    pipeline_PowerPaint.py:1044-1055 via the diffusers contract)."""
+    img, mask = img_mask
+    lat = v1(img, mask, prompt="x", num_inference_steps=2, seed=3,
+             output_type="latent")
+    assert lat.shape == (1, 8, 8, 4) and lat.dtype == np.float32
+    assert np.isfinite(lat).all()
+    lat2 = v1(img, mask, prompt="x", num_inference_steps=2, seed=4,
+              output_type="latent")
+    assert not np.array_equal(lat, lat2)
+    # manual decode of the latents reproduces the float32 output
+    f32 = v1(img, mask, prompt="x", num_inference_steps=2, seed=3,
+             output_type="float32")
+    z = jnp.asarray(lat / v1.config.vae.scaling_factor, jnp.float32)
+    dec = np.asarray(v1.vae.apply(
+        {"params": v1.params["vae"]}, z, method="decode"
+    ))
+    np.testing.assert_allclose(dec, f32, atol=1e-4)
+
+
+def test_v1_output_type_invalid(v1, img_mask):
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    img, mask = img_mask
+    with pytest.raises(InputValidationError, match="output_type"):
+        v1(img, mask, prompt="x", num_inference_steps=2, output_type="pil")
+
+
+def test_v1_height_width(v1, img_mask):
+    """height/width call args resize inputs to the exact target
+    (reference pipeline_PowerPaint.py:729-730)."""
+    img, mask = img_mask
+    out = v1(img, mask, prompt="x", num_inference_steps=2, seed=3,
+             height=48, width=56)
+    assert out.shape == (1, 48, 56, 3)
+
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    with pytest.raises(InputValidationError, match="together"):
+        v1(img, mask, prompt="x", num_inference_steps=2, height=48)
+    with pytest.raises(InputValidationError, match="multiples of 8"):
+        v1(img, mask, prompt="x", num_inference_steps=2, height=50,
+           width=56)
+
+
+def test_v2_output_type_latent_and_hw(img_mask):
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+    img, mask = img_mask
+    cfg = tiny_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    pipe = BrushNetPipeline(cfg, params, _tok(), dtype=jnp.float32)
+    lat = pipe(img, mask, prompt="x", num_inference_steps=2, seed=3,
+               output_type="latent")
+    assert lat.shape == (1, 8, 8, 4) and lat.dtype == np.float32
+    out = pipe(img, mask, prompt="x", num_inference_steps=2, seed=3,
+               height=48, width=56)
+    assert out.shape == (1, 48, 56, 3)
+
+
+def test_cn_output_type_latent_and_hw(img_mask):
+    from powerpaint_tpu.pipelines.controlnet import ControlNetPipeline
+    from powerpaint_tpu.testing import tiny_v1_controlnet_config
+
+    img, mask = img_mask
+    cfg = tiny_v1_controlnet_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    pipe = ControlNetPipeline(cfg, params, _tok(), dtype=jnp.float32)
+    ctrl = np.zeros_like(img)
+    lat = pipe(img, mask, control_image=ctrl, prompt="x",
+               num_inference_steps=2, seed=3, output_type="latent")
+    assert lat.shape == (1, 8, 8, 4) and lat.dtype == np.float32
+    out = pipe(img, mask, control_image=ctrl, prompt="x",
+               num_inference_steps=2, seed=3, height=48, width=56)
+    assert out.shape == (1, 48, 56, 3)
