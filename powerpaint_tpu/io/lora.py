@@ -289,6 +289,37 @@ class LoraMixin:
         self.params, _ = merge_lora(self.params, sd, scale - old)
         self._loaded_loras[-1] = (sd, scale)
 
+    def _with_lora_scale(self, cross_attention_kwargs: dict, fn):
+        """Per-call ``cross_attention_kwargs={"scale": s}`` (the only key
+        the reference threads through it — the LoRA text/attn scale,
+        pipeline_PowerPaint.py:748,887-902): transiently re-merge the
+        loaded LoRA at ``s``, run ``fn``, restore.  The re-merge is
+        host-side and skipped entirely when ``s`` already matches, so
+        repeated calls at one scale pay nothing after the first."""
+        from powerpaint_tpu.core.validation import InputValidationError
+
+        unknown = set(cross_attention_kwargs) - {"scale"}
+        if unknown:
+            raise InputValidationError(
+                f"unsupported cross_attention_kwargs keys: {sorted(unknown)}"
+                " (only 'scale' — the per-call LoRA scale — is meaningful"
+                " on merged-weight trees)"
+            )
+        scale = float(cross_attention_kwargs["scale"])
+        if not getattr(self, "_loaded_loras", None):
+            raise InputValidationError(
+                "cross_attention_kwargs['scale'] requires a loaded LoRA "
+                "(load_lora_weights)"
+            )
+        old = self._loaded_loras[-1][1]
+        if scale == old:
+            return fn()
+        self.set_lora_scale(scale)
+        try:
+            return fn()
+        finally:
+            self.set_lora_scale(old)
+
     def unload_lora_weights(self) -> None:
         """Exactly undo every loaded LoRA (reverse order)."""
         for sd, scale in reversed(getattr(self, "_loaded_loras", [])):

@@ -85,7 +85,8 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
                 lambda p, x: enc.apply({"params": p}, x)
             )
         statics = ("num_steps", "out_mode", "guess_mode",
-                   "branch_cache_interval", "clip_skip", "with_callback")
+                   "branch_cache_interval", "clip_skip", "with_callback",
+                   "custom_timesteps")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -122,7 +123,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics
             )
-        self._generate = AotDispatcher(self._generate, n_static_tail=6)
+        self._generate = AotDispatcher(self._generate, n_static_tail=7)
         # per-call step callback slot (see pipelines/inpaint.py)
         self._active_callback = None
         self._active_callback_steps = 1
@@ -150,6 +151,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         branch_cache_interval: int = 1,
         clip_skip: int = 0,
         with_callback: bool = False,
+        custom_timesteps=None,
     ):
         """Sequence-parallel generate: same math as ``_generate_fn`` with
         ring attention enabled at trace time (see pipelines/inpaint.py)."""
@@ -161,7 +163,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
                 image_u8, mask_u8, guidance_scale, cond_scale_table, seeds,
                 latents_in, pos_t_in, neg_t_in, ip_embeds, ip_scale,
                 num_steps, out_mode, guess_mode, branch_cache_interval,
-                clip_skip, with_callback,
+                clip_skip, with_callback, custom_timesteps,
             )
 
     def _generate_fn(
@@ -187,6 +189,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         branch_cache_interval: int = 1,
         clip_skip: int = 0,
         with_callback: bool = False,
+        custom_timesteps=None,
     ):
         # device-side prep (uint8 boundary): pixel-space pre-mask
         # (app.py:342-345) and keep-mask channel
@@ -194,7 +197,8 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         keep_mask = 1.0 - hole
         imgf = image_u8.astype(jnp.float32) * keep_mask
         masked_image = imgf / 127.5 - 1.0
-        sched = unipc.make_unipc_schedule(self.config.scheduler, num_steps)
+        sched = unipc.make_unipc_schedule(self.config.scheduler, num_steps,
+                                          custom_timesteps=custom_timesteps)
         b, h, w, _ = masked_image.shape  # noqa: E501
         h8, w8 = h // 8, w // 8
 
@@ -435,6 +439,8 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         callback_steps: int = 1,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        timesteps=None,
+        cross_attention_kwargs: Optional[dict] = None,
     ):
         """``ip_adapter_image_embeds``: raw CLIP image embeds, shape
         (ip_adapter_dim,) or (B, ip_adapter_dim) — the reference's
@@ -442,13 +448,38 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         (pipeline_PowerPaint_Brushnet_CA.py:689-706); the unconditional
         half is zeros exactly as the reference's ``encode_image``
         (:650-654). Requires params converted with io.convert
-        ``convert_ip_adapter`` merged into the UNet tree."""
+        ``convert_ip_adapter`` merged into the UNet tree.
+
+        ``timesteps``: explicit descending timestep list (arbitrary
+        spacing — reference :1265-1269 via retrieve_timesteps); overrides
+        ``num_inference_steps``.  ``cross_attention_kwargs={"scale": s}``:
+        per-call LoRA scale (reference :1240,1297)."""
+        if cross_attention_kwargs:
+            call_kw = {k: v for k, v in locals().items()
+                       if k not in ("self", "cross_attention_kwargs")}
+            return self._with_lora_scale(
+                cross_attention_kwargs, lambda: self(**call_kw)
+            )
         from powerpaint_tpu.core.validation import (
             InputValidationError,
             check_call_args,
             check_image_mask,
         )
 
+        custom_ts = None
+        if timesteps is not None:
+            from powerpaint_tpu.schedulers.common import (
+                custom_timesteps_array,
+            )
+
+            try:
+                custom_ts = tuple(
+                    int(t) for t in
+                    custom_timesteps_array(self.config.scheduler, timesteps)
+                )
+            except ValueError as e:
+                raise InputValidationError(str(e)) from e
+            num_inference_steps = len(custom_ts)
         if output_type not in ("uint8", "float32", "latent"):
             raise InputValidationError(
                 f"output_type must be uint8 | float32 | latent, got "
@@ -642,5 +673,6 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             int(branch_cache_interval),
             int(clip_skip),
             callback is not None,
+            custom_ts,
         )
         return finish(out)

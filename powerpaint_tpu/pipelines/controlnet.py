@@ -331,8 +331,17 @@ class ControlNetPipeline(InpaintPipeline):
         callback_steps: int = 1,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        cross_attention_kwargs: Optional[dict] = None,
         **kwargs,
     ):
+        if cross_attention_kwargs:
+            # per-call LoRA scale (reference ControlNet pipeline :1032)
+            call_kw = {k: v for k, v in locals().items()
+                       if k not in ("self", "cross_attention_kwargs")}
+            extra = call_kw.pop("kwargs")
+            return self._with_lora_scale(
+                cross_attention_kwargs, lambda: self(**call_kw, **extra)
+            )
         if output_type not in ("uint8", "float32", "latent"):
             from powerpaint_tpu.core.validation import InputValidationError
 

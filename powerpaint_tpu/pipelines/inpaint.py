@@ -481,6 +481,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         callback_steps: int = 1,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        cross_attention_kwargs: Optional[dict] = None,
     ):
         """Full inpainting call (reference __call__ surface,
         pipeline_PowerPaint.py:978-1071 + app.py predict routing).
@@ -490,7 +491,16 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         ``guidance_scale``/``seed`` as per-request lists — one jitted
         generate for B independent requests (serve/batcher.py).  Each
         image's noise depends only on its own seed, so batched results
-        match standalone runs."""
+        match standalone runs.
+
+        ``cross_attention_kwargs={"scale": s}``: per-call LoRA scale
+        (reference :748, threaded through text encode at :330,360-361)."""
+        if cross_attention_kwargs:
+            call_kw = {k: v for k, v in locals().items()
+                       if k not in ("self", "cross_attention_kwargs")}
+            return self._with_lora_scale(
+                cross_attention_kwargs, lambda: self(**call_kw)
+            )
         from powerpaint_tpu.core.validation import (
             check_call_args,
             check_image_mask,

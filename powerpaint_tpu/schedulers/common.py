@@ -72,24 +72,50 @@ def spaced_timesteps(cfg: SchedulerConfig, num_steps: int) -> np.ndarray:
     return np.clip(ts, 0, T - 1)
 
 
+def custom_timesteps_array(cfg: SchedulerConfig, custom) -> np.ndarray:
+    """Validate a user-supplied timestep list (the reference v2 surface's
+    ``timesteps`` argument, resolved through diffusers retrieve_timesteps,
+    pipeline_PowerPaint_Brushnet_CA.py:87-127): strictly descending ints
+    in [0, T)."""
+    ts = np.asarray(custom, dtype=np.int64)
+    if ts.ndim != 1 or len(ts) < 1:
+        raise ValueError("timesteps must be a non-empty 1-D sequence")
+    if (np.diff(ts) >= 0).any():
+        raise ValueError("timesteps must be strictly descending")
+    if ts[0] >= cfg.num_train_timesteps or ts[-1] < 0:
+        raise ValueError(
+            f"timesteps must lie in [0, {cfg.num_train_timesteps})"
+        )
+    return ts
+
+
 def kept_timesteps(
-    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None, custom=None
 ) -> np.ndarray:
     """Descending inference timesteps, truncated to the LAST ``keep_steps``
     for strength<1 (the reference's get_timesteps slicing,
-    pipeline_PowerPaint.py:713-720)."""
-    ts = spaced_timesteps(cfg, num_steps)
+    pipeline_PowerPaint.py:713-720).  ``custom`` overrides the spacing
+    formula with an explicit list (arbitrary-spacing support)."""
+    ts = (custom_timesteps_array(cfg, custom) if custom is not None
+          else spaced_timesteps(cfg, num_steps))
+    num_steps = len(ts)
     if keep_steps is not None and keep_steps < num_steps:
         ts = ts[num_steps - keep_steps:]
     return ts
 
 
 def make_schedule(
-    cfg: SchedulerConfig, num_steps: int, keep_steps=None
+    cfg: SchedulerConfig, num_steps: int, keep_steps=None, custom=None
 ) -> DiffusionSchedule:
     acp = alphas_cumprod(cfg)
-    ts = kept_timesteps(cfg, num_steps, keep_steps)
-    prev = ts - cfg.num_train_timesteps // num_steps
+    ts = kept_timesteps(cfg, num_steps, keep_steps, custom=custom)
+    if custom is not None:
+        # arbitrary spacing: prev is the NEXT entry in the list (the
+        # convention diffusers' custom-timestep schedulers use); the final
+        # step transitions below 0 -> final_alpha_cumprod via alpha_at
+        prev = np.append(ts[1:], -1)
+    else:
+        prev = ts - cfg.num_train_timesteps // num_steps
     final = 1.0 if cfg.set_alpha_to_one else float(acp[0])
     return DiffusionSchedule(
         config=cfg,

@@ -88,14 +88,23 @@ def _phi_terms(hh: float, solver_type: str):
     return h_phi_1, b1, b2, B_h
 
 
-def make_unipc_schedule(cfg, num_steps: int, keep_steps=None) -> UniPCSchedule:
+def make_unipc_schedule(cfg, num_steps: int, keep_steps=None,
+                        custom_timesteps=None) -> UniPCSchedule:
     """Precompute all per-step coefficients on host (float64).
     ``keep_steps`` truncates to the last steps for strength<1, with the
     multistep warmup (order ramp) re-primed at the truncated start — the
-    same behavior diffusers gets from its from-zero lower_order_nums."""
-    base = make_schedule(cfg, num_steps, keep_steps)
+    same behavior diffusers gets from its from-zero lower_order_nums.
+    ``custom_timesteps`` (descending ints) overrides the spacing formula —
+    arbitrary-spacing support the torch UniPCMultistepScheduler lacks
+    (its set_timesteps takes no timestep list, so the reference v2's
+    ``timesteps`` argument raises there); the coefficient tables here are
+    built from consecutive list entries, so any grid works."""
+    base = make_schedule(cfg, num_steps, keep_steps,
+                         custom=custom_timesteps)
     acp = alphas_cumprod(cfg)
-    ts = kept_timesteps(cfg, num_steps, keep_steps)
+    ts = kept_timesteps(cfg, num_steps, keep_steps,
+                        custom=custom_timesteps)
+    num_steps = len(ts)
     S = len(ts)
     order = min(cfg.solver_order, 2)
     solver_type = cfg.solver_type

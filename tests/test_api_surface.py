@@ -232,3 +232,87 @@ def test_cn_output_type_latent_and_hw(img_mask):
     out = pipe(img, mask, control_image=ctrl, prompt="x",
                num_inference_steps=2, seed=3, height=48, width=56)
     assert out.shape == (1, 48, 56, 3)
+
+
+def test_cross_attention_kwargs_lora_scale(img_mask):
+    """cross_attention_kwargs={"scale": s} is the per-call LoRA scale
+    (reference pipeline_PowerPaint.py:748,887-902): transient re-merge,
+    restored after the call."""
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    img, mask = img_mask
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    pipe = InpaintPipeline(cfg, params, _tok(), dtype=jnp.float32)
+    base = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1)
+
+    with pytest.raises(InputValidationError, match="requires a loaded LoRA"):
+        pipe(img, mask, prompt="x", num_inference_steps=2, seed=1,
+             cross_attention_kwargs={"scale": 0.5})
+    with pytest.raises(InputValidationError, match="unsupported"):
+        pipe(img, mask, prompt="x", num_inference_steps=2, seed=1,
+             cross_attention_kwargs={"ip_adapter_masks": None})
+
+    unet = params["unet"]
+    node = unet
+    for p in ("down_blocks_0", "attentions_0", "blocks_0", "attn1", "to_q"):
+        node = node[p]
+    i_dim, o_dim = np.asarray(node["kernel"]).shape
+    rng = np.random.RandomState(4)
+    sd = {
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+        ".lora_A.weight": rng.randn(4, i_dim).astype(np.float32),
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q"
+        ".lora_B.weight": rng.randn(o_dim, 4).astype(np.float32),
+    }
+    assert pipe.load_lora_weights(sd, scale=1.0) == []
+    styled = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1)
+    assert (styled != base).any()
+
+    # matching scale: fast path, bit-identical
+    same = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1,
+                cross_attention_kwargs={"scale": 1.0})
+    assert np.array_equal(same, styled)
+
+    # different scale changes the output...
+    half = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1,
+                cross_attention_kwargs={"scale": 0.25})
+    assert (half != styled).any()
+    # ...and the loaded scale is restored afterwards (<= 1 lsb rounding)
+    again = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1)
+    diff = np.abs(again.astype(np.int32) - styled.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_v2_custom_timesteps(img_mask):
+    """Explicit descending timestep list (reference v2 `timesteps` via
+    retrieve_timesteps, pipeline_PowerPaint_Brushnet_CA.py:87-127) — the
+    table-based UniPC supports arbitrary spacing (the torch
+    UniPCMultistepScheduler raises on it)."""
+    from powerpaint_tpu.core.validation import InputValidationError
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.schedulers.common import spaced_timesteps
+
+    img, mask = img_mask
+    cfg = tiny_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    pipe = BrushNetPipeline(cfg, params, _tok(), dtype=jnp.float32)
+    default = pipe(img, mask, prompt="x", num_inference_steps=3, seed=2)
+
+    # the default grid passed explicitly reproduces the default bit-exactly
+    ts = [int(t) for t in spaced_timesteps(cfg.scheduler, 3)]
+    exact = pipe(img, mask, prompt="x", num_inference_steps=99, seed=2,
+                 timesteps=ts)  # num_inference_steps overridden by the list
+    assert np.array_equal(exact, default)
+
+    # an irregular grid runs and changes the result
+    odd = pipe(img, mask, prompt="x", seed=2, timesteps=[801, 301, 11])
+    assert odd.shape == default.shape
+    assert not np.array_equal(odd, default)
+
+    with pytest.raises(InputValidationError, match="descending"):
+        pipe(img, mask, prompt="x", seed=2, timesteps=[11, 301])
+    with pytest.raises(InputValidationError, match="lie in"):
+        pipe(img, mask, prompt="x", seed=2, timesteps=[5000, 301])
