@@ -39,6 +39,17 @@ def check_image_mask(image: np.ndarray, mask: np.ndarray) -> None:
         )
 
 
+def check_clip_skip(clip_skip: int, num_hidden_layers: int) -> None:
+    """The encoder captures layer ``L - clip_skip``; outside [0, L-1] the
+    capture condition never fires and the value would be silently ignored
+    (the diffusers reference raises an IndexError instead)."""
+    if not 0 <= int(clip_skip) <= num_hidden_layers - 1:
+        raise InputValidationError(
+            f"clip_skip must be in [0, {num_hidden_layers - 1}] for a "
+            f"{num_hidden_layers}-layer text encoder, got {clip_skip}"
+        )
+
+
 def check_call_args(
     *,
     task: str,

@@ -264,6 +264,28 @@ class LoraMixin:
     ``self.params`` and remembers them so the scale can be changed
     (re-merge) or the LoRA unloaded exactly."""
 
+    def _commit_params(self) -> None:
+        """Re-commit ``self.params`` to the device after a host-side merge:
+        ``merge_lora`` leaves touched kernels as numpy arrays, which would
+        otherwise be re-uploaded host->device on EVERY subsequent call (and
+        on a mesh would silently lose the TP shardings ``__post_init__``
+        placed)."""
+        import jax
+
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from powerpaint_tpu.parallel.mesh import param_shardings
+
+            p_shard = {
+                k: param_shardings(mesh, v) for k, v in self.params.items()
+            }
+            self.params = jax.device_put(self.params, p_shard)
+        else:
+            import jax.numpy as jnp
+
+            # jnp.asarray is a no-op for leaves already on device
+            self.params = jax.tree.map(jnp.asarray, self.params)
+
     def load_lora_weights(self, sd_or_path, scale: float = 1.0,
                           strict: bool = False) -> List[str]:
         if isinstance(sd_or_path, str):
@@ -275,6 +297,7 @@ class LoraMixin:
         self.params, unmatched = merge_lora(
             self.params, sd, scale, strict=strict
         )
+        self._commit_params()
         loras = getattr(self, "_loaded_loras", None)
         if loras is None:
             loras = self._loaded_loras = []
@@ -282,11 +305,16 @@ class LoraMixin:
         return unmatched
 
     def set_lora_scale(self, scale: float) -> None:
-        """Re-merge the most recent LoRA at a different scale."""
+        """Re-merge the most recent LoRA at a different scale.
+
+        Dtype honesty: the (un)merge arithmetic happens in the kernel
+        dtype, so on bf16 trees a scale round-trip is exact only to ~1 ulp
+        (``_with_lora_scale`` avoids this entirely by snapshot-restore)."""
         if not getattr(self, "_loaded_loras", None):
             raise RuntimeError("no LoRA loaded")
         sd, old = self._loaded_loras[-1]
         self.params, _ = merge_lora(self.params, sd, scale - old)
+        self._commit_params()
         self._loaded_loras[-1] = (sd, scale)
 
     def _with_lora_scale(self, cross_attention_kwargs: dict, fn):
@@ -314,16 +342,27 @@ class LoraMixin:
         old = self._loaded_loras[-1][1]
         if scale == old:
             return fn()
+        # snapshot-restore, NOT delta-arithmetic restore: merge trees are
+        # copy-on-write, so keeping the pre-call tree reference makes the
+        # restore bit-exact (merging back with -delta would reintroduce a
+        # rounding ulp per toggle — a random-walk drift on bf16 weights
+        # under a serving loop that alternates scales)
+        saved_params = self.params
+        saved_entry = self._loaded_loras[-1]
         self.set_lora_scale(scale)
         try:
             return fn()
         finally:
-            self.set_lora_scale(old)
+            self.params = saved_params
+            self._loaded_loras[-1] = saved_entry
 
     def unload_lora_weights(self) -> None:
-        """Exactly undo every loaded LoRA (reverse order)."""
+        """Undo every loaded LoRA (reverse order).  Exact in fp32; on bf16
+        trees the add/subtract round-trip is accurate to ~1 ulp of the
+        kernel dtype (fl(fl(k+d)-d) != k in general)."""
         for sd, scale in reversed(getattr(self, "_loaded_loras", [])):
             self.params, _ = merge_lora(self.params, sd, -scale)
+        self._commit_params()
         self._loaded_loras = []
 
     def add_textual_inversion(self, sd_or_path, token: Optional[str] = None

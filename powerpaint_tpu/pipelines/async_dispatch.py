@@ -78,7 +78,21 @@ class AsyncDispatchMixin:
     def submit(self, *args, **kwargs) -> PendingImages:
         """Same surface as ``__call__`` but returns a
         :class:`PendingImages` immediately after dispatch instead of
-        blocking on the device->host fetch."""
+        blocking on the device->host fetch.
+
+        Per-call step callbacks are rejected: the host trampoline reads
+        the pipeline's active-callback slot at execution time, so a later
+        dispatch would overwrite it while an earlier request is still
+        running on device and its steps would invoke the wrong callback.
+        Use the synchronous ``__call__`` for callback observation."""
+        if kwargs.get("callback") is not None:
+            from powerpaint_tpu.core.validation import InputValidationError
+
+            raise InputValidationError(
+                "callback is not supported with submit(): in-flight "
+                "requests share the callback slot; use the synchronous "
+                "call for step callbacks"
+            )
         token = _FETCH.set(False)
         try:
             out = self(*args, **kwargs)

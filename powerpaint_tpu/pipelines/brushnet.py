@@ -40,11 +40,17 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
 from powerpaint_tpu.pipelines.async_dispatch import AsyncDispatchMixin, finish
+from powerpaint_tpu.pipelines.common import (
+    StepCallbackMixin,
+    check_output_type,
+    norm_embeds,
+)
 from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
+class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
+                       StepCallbackMixin):
     config: PowerPaintConfig
     params: dict  # unet, vae, brushnet, text_encoder (plain),
     #               text_encoder_brushnet (task tokens)
@@ -400,16 +406,6 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             dtype=np.float32,
         )
 
-    def _run_step_callback(self, i, latents):
-        """Host trampoline behind ``jax.debug.callback`` (observation-only
-        analog of the reference's per-call ``callback`` /
-        ``callback_on_step_end``, :1451-1466; latent mutation from a
-        callback is not supported — it would force a host round-trip into
-        the compiled scan)."""
-        cb = self._active_callback
-        if cb is not None and int(i) % self._active_callback_steps == 0:
-            cb(int(i), latents)
-
     def __call__(
         self,
         image,
@@ -480,11 +476,11 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             except ValueError as e:
                 raise InputValidationError(str(e)) from e
             num_inference_steps = len(custom_ts)
-        if output_type not in ("uint8", "float32", "latent"):
-            raise InputValidationError(
-                f"output_type must be uint8 | float32 | latent, got "
-                f"{output_type!r}"
-            )
+        check_output_type(output_type)
+        from powerpaint_tpu.core.validation import check_clip_skip
+
+        check_clip_skip(clip_skip,
+                        self.config.text_encoder.num_hidden_layers)
         multi = isinstance(prompt, (list, tuple))
         if height is not None or width is not None:
             from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
@@ -636,12 +632,6 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
             seeds = (np.asarray(seed, np.int64)
                      + np.arange(b, dtype=np.int64)).astype(np.int32)
         assert seeds.shape == (b,), (seeds.shape, b)
-
-        def norm_embeds(e):
-            if e is None:
-                return None
-            e = np.asarray(e, np.float32)
-            return e[None] if e.ndim == 2 else e
 
         self._active_callback = callback
         self._active_callback_steps = max(1, int(callback_steps))

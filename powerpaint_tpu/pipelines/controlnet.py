@@ -28,6 +28,7 @@ import numpy as np
 from powerpaint_tpu import schedulers as sched_registry
 from powerpaint_tpu.io.aot import AotDispatcher
 from powerpaint_tpu.pipelines.async_dispatch import finish
+from powerpaint_tpu.pipelines.common import check_output_type, norm_embeds
 from powerpaint_tpu.models.controlnet import ControlNetModel
 from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
 from powerpaint_tpu.schedulers import ddim
@@ -342,13 +343,11 @@ class ControlNetPipeline(InpaintPipeline):
             return self._with_lora_scale(
                 cross_attention_kwargs, lambda: self(**call_kw, **extra)
             )
-        if output_type not in ("uint8", "float32", "latent"):
-            from powerpaint_tpu.core.validation import InputValidationError
+        check_output_type(output_type)
+        from powerpaint_tpu.core.validation import check_clip_skip
 
-            raise InputValidationError(
-                f"output_type must be uint8 | float32 | latent, got "
-                f"{output_type!r}"
-            )
+        check_clip_skip(clip_skip,
+                        self.config.text_encoder.num_hidden_layers)
         if control_image is None:
             # no-control path == plain v1 (reference predict_woControl)
             return super().__call__(
@@ -370,20 +369,20 @@ class ControlNetPipeline(InpaintPipeline):
             multi_hw = isinstance(prompt, (list, tuple))
             image, mask = self._apply_target_hw(image, mask, height, width,
                                                 multi_hw)
-            # control maps resize with the canvas (single-request form;
-            # the multi form requires pre-sized inputs)
-            if not multi_hw:
-                cs = (list(control_image)
-                      if isinstance(control_image, (list, tuple))
-                      else [control_image])
-                cs = [
-                    resize_to(to_numpy_image(c), None, int(height),
-                              int(width))[0]
-                    for c in cs
-                ]
-                control_image = (
-                    cs if isinstance(control_image, (list, tuple)) else cs[0]
-                )
+
+            def resize_ctrl(c):
+                # one control image or a per-branch list — resize with the
+                # canvas so the cond embedding lands on the same latent grid
+                if isinstance(c, (list, tuple)):
+                    return [resize_to(to_numpy_image(x), None, int(height),
+                                      int(width))[0] for x in c]
+                return resize_to(to_numpy_image(c), None, int(height),
+                                 int(width))[0]
+
+            if multi_hw:  # per-request list of (image | per-branch list)
+                control_image = [resize_ctrl(c) for c in control_image]
+            else:
+                control_image = resize_ctrl(control_image)
 
         from powerpaint_tpu.core.validation import (
             InputValidationError,
@@ -406,7 +405,8 @@ class ControlNetPipeline(InpaintPipeline):
                 controlnet_conditioning_scale, control_guidance_start,
                 control_guidance_end, strength, eta, scheduler, seed,
                 guess_mode, output_type, clip_skip, callback,
-                callback_steps,
+                callback_steps, latents=latents, prompt_embeds=prompt_embeds,
+                negative_prompt_embeds=negative_prompt_embeds,
             )
 
         img = to_numpy_image(image)
@@ -503,12 +503,6 @@ class ControlNetPipeline(InpaintPipeline):
         seeds = (np.asarray(seed, np.int64)
                  + np.arange(b, dtype=np.int64)).astype(np.int32)
 
-        def norm_embeds(e):
-            if e is None:
-                return None
-            e = np.asarray(e, np.float32)
-            return e[None] if e.ndim == 2 else e
-
         self._active_callback = callback or self.step_callback
         self._active_callback_steps = max(1, int(callback_steps))
 
@@ -544,6 +538,7 @@ class ControlNetPipeline(InpaintPipeline):
         controlnet_conditioning_scale, control_guidance_start,
         control_guidance_end, strength, eta, scheduler, seed, guess_mode,
         output_type, clip_skip, callback, callback_steps,
+        latents=None, prompt_embeds=None, negative_prompt_embeds=None,
     ):
         """Micro-batched serving form: B independent control requests as
         ONE jitted generate (the v1 multi-request contract,
@@ -553,6 +548,8 @@ class ControlNetPipeline(InpaintPipeline):
         from powerpaint_tpu.core.validation import (
             InputValidationError,
             check_call_args,
+            check_control_image,
+            check_image_mask,
         )
 
         prompts = list(prompts)
@@ -580,33 +577,45 @@ class ControlNetPipeline(InpaintPipeline):
         )
 
         n_branches = len(self.params["controlnet"])
-        img_b = np.stack([to_numpy_image(im) for im in images])
+        imgs_np = [to_numpy_image(im) for im in images]
+        masks_np = [to_numpy_mask(m) for m in masks]
+        for im, m in zip(imgs_np, masks_np):
+            check_image_mask(im, m)
+        img_b = np.stack(imgs_np)
         mask_b = np.stack([
-            ((to_numpy_mask(m) >= 0.5).astype(np.uint8) * 255)[..., None]
-            for m in masks
+            ((m >= 0.5).astype(np.uint8) * 255)[..., None]
+            for m in masks_np
         ])
         # per-request control image(s) -> (N, B, H, W, 3)
         ctrl_cols = []
-        for c in control_images:
+        for bi, c in enumerate(control_images):
             cs = list(c) if isinstance(c, (list, tuple)) else [c]
             if len(cs) != n_branches:
                 raise InputValidationError(
                     f"each request needs {n_branches} control images, "
                     f"got {len(cs)}"
                 )
-            ctrl_cols.append([to_numpy_image(x) for x in cs])
+            col = [to_numpy_image(x) for x in cs]
+            for x in col:
+                check_control_image(x, imgs_np[bi])
+            ctrl_cols.append(col)
         ctrl_b = np.stack(
             [np.stack([ctrl_cols[bi][n] for bi in range(B)])
              for n in range(n_branches)]
         )
 
-        def per_branch(v):
+        def per_branch(v, name):
             vs = list(v) if isinstance(v, (list, tuple)) else [v] * n_branches
+            if len(vs) != n_branches:
+                raise InputValidationError(
+                    f"{name} must be a scalar or a length-{n_branches} list"
+                )
             return vs
 
-        scales = per_branch(controlnet_conditioning_scale)
-        starts = per_branch(control_guidance_start)
-        ends = per_branch(control_guidance_end)
+        scales = per_branch(controlnet_conditioning_scale,
+                            "controlnet_conditioning_scale")
+        starts = per_branch(control_guidance_start, "control_guidance_start")
+        ends = per_branch(control_guidance_end, "control_guidance_end")
         for f, g in zip(fittings, guidances):
             check_call_args(
                 task=task, num_inference_steps=num_inference_steps,
@@ -648,9 +657,9 @@ class ControlNetPipeline(InpaintPipeline):
             jnp.asarray(np.asarray(guidances, np.float32)),
             jnp.asarray(keeps),
             jnp.asarray(seeds),
-            None,
-            None,
-            None,
+            None if latents is None else jnp.asarray(latents),
+            norm_embeds(prompt_embeds),
+            norm_embeds(negative_prompt_embeds),
             num_inference_steps,
             strength_steps,
             output_type,

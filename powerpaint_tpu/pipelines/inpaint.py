@@ -35,11 +35,17 @@ from powerpaint_tpu.text.tokenizer import TokenizerWrapper
 
 from powerpaint_tpu.io.aot import AotDispatcher, AotPipelineMixin
 from powerpaint_tpu.pipelines.async_dispatch import AsyncDispatchMixin, finish
+from powerpaint_tpu.pipelines.common import (
+    StepCallbackMixin,
+    check_output_type,
+    norm_embeds,
+)
 from powerpaint_tpu.io.lora import LoraMixin
 
 
 @dataclasses.dataclass
-class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
+class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
+                      StepCallbackMixin):
     config: PowerPaintConfig
     params: dict  # {'unet': ..., 'vae': ..., 'text_encoder': ...}
     tokenizer: TokenizerWrapper
@@ -124,13 +130,6 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
     def _encode_text(self, params, ids, clip_skip: int = 0):
         return self.text_encoder.apply({"params": params}, ids,
                                        clip_skip=clip_skip)
-
-    def _run_step_callback(self, i, latents):
-        """Host-side trampoline behind ``jax.debug.callback`` — reads the
-        CURRENT per-call callback, so changing it never retraces."""
-        cb = self._active_callback
-        if cb is not None and int(i) % self._active_callback_steps == 0:
-            cb(int(i), latents)
 
     def _denoise_loop(
         self,
@@ -592,19 +591,11 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin):
         strength_steps = min(
             int(num_inference_steps * strength), num_inference_steps
         )
-        from powerpaint_tpu.core.validation import InputValidationError
+        from powerpaint_tpu.core.validation import check_clip_skip
 
-        if output_type not in ("uint8", "float32", "latent"):
-            raise InputValidationError(
-                f"output_type must be uint8 | float32 | latent, got "
-                f"{output_type!r}"
-            )
-
-        def norm_embeds(e):
-            if e is None:
-                return None
-            e = np.asarray(e, np.float32)
-            return e[None] if e.ndim == 2 else e
+        check_output_type(output_type)
+        check_clip_skip(clip_skip,
+                        self.config.text_encoder.num_hidden_layers)
 
         # per-call callback (reference `callback`/`callback_steps`,
         # pipeline_PowerPaint.py:746,1039): observation-only — a host

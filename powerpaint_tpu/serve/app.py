@@ -183,11 +183,15 @@ def make_server(
     lock = threading.Lock()
     first_done = [on_first_success is None]
 
-    def _maybe_first_hook():
-        with lock:
-            if first_done[0]:
-                return
-            first_done[0] = True
+    def _first_hook_locked():
+        """Run the first-success hook (the --aot-cache dump) while STILL
+        holding the request lock: aot_dump reads the dispatcher's last-call
+        args and re-executes a validation generate, so a concurrent request
+        could otherwise swap the args mid-dump (dumping the wrong
+        signature) or race the validation run."""
+        if first_done[0]:
+            return
+        first_done[0] = True
         try:
             on_first_success()
         except Exception as e:  # never fail the request for a cache dump
@@ -200,6 +204,16 @@ def make_server(
 
         batcher = MicroBatcher(pipe, max_batch=micro_batch)
         batched = _BatchedPipe(batcher)
+        if not first_done[0]:
+            # the batcher's worker thread owns device dispatch; a server-
+            # side dump would race it on the dispatcher's last-call args.
+            # Pre-build the cache with the one-shot CLI instead.
+            import sys
+
+            first_done[0] = True
+            print("aot: server-side --aot-cache dump is disabled with "
+                  "--micro-batch; pre-build the cache with a one-shot run",
+                  file=sys.stderr)
 
         def run(payload):
             # batcher serializes device work itself; no lock
@@ -207,7 +221,9 @@ def make_server(
     else:
         def run(payload):
             with lock:  # serialize like the reference's demo.queue()
-                return _run_request(pipe, payload)
+                out = _run_request(pipe, payload)
+                _first_hook_locked()
+                return out
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -234,7 +250,6 @@ def make_server(
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n))
                 ctype, body = run(payload)
-                _maybe_first_hook()
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))

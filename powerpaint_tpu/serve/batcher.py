@@ -125,13 +125,19 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._q.put(None)  # wake the worker
-        self._thread.join(timeout=5)
-        try:  # wake the fetcher (bounded wait: in-flight batches drain
-            # as the device finishes them; don't hang on a wedged device)
-            self._inflight.put(None, timeout=60)
-        except queue.Full:
-            pass
-        self._fetcher.join(timeout=5)
+        self._thread.join(timeout=60)
+        if self._thread.is_alive():
+            # The worker is still inside a dispatch (e.g. a multi-minute
+            # first-call compile).  Inserting the fetcher sentinel NOW
+            # could land AHEAD of that batch in _inflight, making the
+            # fetcher exit before it — stranding submitters in
+            # event.wait() forever.  Leave both daemon threads running;
+            # they drain naturally and die with the process.
+            return
+        # worker has exited -> nothing more will be enqueued; the sentinel
+        # is guaranteed to be the last _inflight item
+        self._inflight.put(None)
+        self._fetcher.join(timeout=60)
 
     # ------------------------------------------------------------- client
 
@@ -164,6 +170,7 @@ class MicroBatcher:
             except queue.Empty:
                 break
             if nxt is None:
+                self._q.put(None)  # re-arm the stop sentinel for _worker
                 break
             if nxt.batchable() and nxt.group_key() == key:
                 batch.append(nxt)

@@ -316,3 +316,17 @@ def test_v2_custom_timesteps(img_mask):
         pipe(img, mask, prompt="x", seed=2, timesteps=[11, 301])
     with pytest.raises(InputValidationError, match="lie in"):
         pipe(img, mask, prompt="x", seed=2, timesteps=[5000, 301])
+
+
+def test_clip_skip_out_of_range_raises(v1, img_mask):
+    """clip_skip beyond the encoder depth would silently never fire the
+    layer-capture condition (clip_text.py); it must be a typed input
+    error instead (the diffusers reference raises an IndexError)."""
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    img, mask = img_mask
+    depth = v1.config.text_encoder.num_hidden_layers
+    for bad in (depth, depth + 5, -1):
+        with pytest.raises(InputValidationError, match="clip_skip"):
+            v1(img, mask, prompt="x", num_inference_steps=2, seed=3,
+               clip_skip=bad)

@@ -150,3 +150,15 @@ def test_sync_pipe_fallback(inputs):
         np.testing.assert_array_equal(out, img + 1)
     finally:
         batcher.close()
+
+
+def test_submit_rejects_callback(pipe, inputs):
+    """The per-call callback slot is read at device-execution time, so an
+    overlapping submit() would misroute step callbacks across requests —
+    the async surface refuses them up front."""
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    img, mask = inputs
+    with pytest.raises(InputValidationError, match="callback"):
+        pipe.submit(img, mask, prompt="a dog", num_inference_steps=2,
+                    seed=1, callback=lambda i, lat: None)

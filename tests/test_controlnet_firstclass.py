@@ -198,3 +198,47 @@ def test_http_control_request(pipe, inputs):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_multi_height_width_resizes_controls(pipe, inputs):
+    """The multi-request form must resize control images with the canvas
+    (height/width), exactly like the single-request form — otherwise the
+    cond embedding lands on a different latent grid and the jitted
+    generate dies on a shape mismatch."""
+    imgs, mask, ctrls = inputs
+    big = [np.repeat(np.repeat(im, 2, 0), 2, 1) for im in imgs[:2]]
+    big_mask = np.repeat(np.repeat(mask, 2, 0), 2, 1)
+    big_ctrl = [np.repeat(np.repeat(c, 2, 0), 2, 1) for c in ctrls[:2]]
+    out = pipe(big, [big_mask] * 2, control_image=big_ctrl,
+               prompt=["p0", "p1"], seed=[1, 2], num_inference_steps=2,
+               height=64, width=64)
+    assert out[0].shape == (64, 64, 3)
+
+
+def test_multi_forwards_prompt_embeds(pipe, inputs):
+    """__call__ accepts prompt_embeds/negative_prompt_embeds in the
+    multi-request form and actually uses them (they were once silently
+    dropped to None)."""
+    imgs, mask, ctrls = inputs
+    base = pipe(imgs[:2], [mask] * 2, control_image=ctrls[:2],
+                prompt=["p0", "p1"], seed=[1, 2], num_inference_steps=2)
+    d = pipe.config.text_encoder.hidden_size
+    rng = np.random.RandomState(7)
+    pe = rng.randn(2, 77, d).astype(np.float32)
+    ne = rng.randn(2, 77, d).astype(np.float32)
+    out = pipe(imgs[:2], [mask] * 2, control_image=ctrls[:2],
+               prompt=["p0", "p1"], seed=[1, 2], num_inference_steps=2,
+               prompt_embeds=pe, negative_prompt_embeds=ne)
+    assert (out[0] != base[0]).any()
+
+
+def test_multi_per_branch_length_validation(pipe, inputs):
+    """Wrong-length per-branch lists must raise, not zip-truncate."""
+    from powerpaint_tpu.core.validation import InputValidationError
+
+    imgs, mask, ctrls = inputs
+    with pytest.raises(InputValidationError,
+                       match="controlnet_conditioning_scale"):
+        pipe(imgs[:2], [mask] * 2, control_image=ctrls[:2],
+             prompt=["p0", "p1"], seed=[1, 2], num_inference_steps=2,
+             controlnet_conditioning_scale=[1.0, 1.0, 1.0])

@@ -201,3 +201,64 @@ def test_pipeline_lora_mixin(params):
     # in the uint8 output
     diff = np.abs(restored.astype(np.int32) - base.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_lora_load_preserves_mesh_shardings():
+    """load_lora_weights on a mesh pipeline must re-commit merged kernels
+    with their TP shardings (merge_lora leaves host numpy arrays behind;
+    a bare re-upload would silently replicate TP-sharded weights and
+    re-transfer them every call)."""
+    from powerpaint_tpu.parallel.mesh import build_mesh
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+    from powerpaint_tpu.testing import tiny_v1_config
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = tiny_v1_config()
+    cfg = cfg.replace(
+        unet=cfg.unet.replace(
+            block_out_channels=(32, 64, 64, 64), attention_head_dim=2
+        )
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    tok = TokenizerWrapper(HashTokenizer(vocab_size=994))
+    add_task_tokens(tok)
+    mesh = build_mesh(jax.devices()[:8], model_parallel=2)
+    pipe = InpaintPipeline(cfg, params, tok, dtype=jnp.float32, mesh=mesh)
+
+    def shardings(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp): leaf.sharding
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    before = shardings(pipe.params["unet"])
+    node = pipe.params["unet"]
+    for p in ("down_blocks_0", "attentions_0", "blocks_0", "attn1", "to_q"):
+        node = node[p]
+    I, O = np.asarray(node["kernel"]).shape
+    rng = np.random.RandomState(4)
+    sd = {
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight":
+            rng.randn(4, I).astype(np.float32),
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight":
+            rng.randn(O, 4).astype(np.float32),
+    }
+    assert pipe.load_lora_weights(sd, scale=1.0) == []
+    # every leaf back on device (no host numpy -> no per-call re-upload)
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree.leaves(pipe.params))
+    after = shardings(pipe.params["unet"])
+    assert before == after
+    # and the sharded pipeline still generates
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1,
+               num_images_per_prompt=4)
+    assert out.shape == (4, 32, 32, 3)
