@@ -319,6 +319,10 @@ class SchedulerConfig(_ConfigBase):
     solver_order: int = 2
     lower_order_final: bool = True
     solver_type: str = "bh2"
+    # LCM specifics (consistency-model boundary conditions + the coarse
+    # training grid LCM-LoRA checkpoints are distilled on)
+    original_inference_steps: int = 50
+    timestep_scaling: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

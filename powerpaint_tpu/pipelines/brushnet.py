@@ -92,7 +92,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             )
         statics = ("num_steps", "out_mode", "guess_mode",
                    "branch_cache_interval", "clip_skip", "with_callback",
-                   "custom_timesteps")
+                   "custom_timesteps", "sampler")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -129,7 +129,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             self._generate = jax.jit(
                 self._generate_fn, static_argnames=statics
             )
-        self._generate = AotDispatcher(self._generate, n_static_tail=7)
+        self._generate = AotDispatcher(self._generate, n_static_tail=8)
         # per-call step callback slot (see pipelines/inpaint.py)
         self._active_callback = None
         self._active_callback_steps = 1
@@ -158,6 +158,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         clip_skip: int = 0,
         with_callback: bool = False,
         custom_timesteps=None,
+        sampler: str = "unipc",
     ):
         """Sequence-parallel generate: same math as ``_generate_fn`` with
         ring attention enabled at trace time (see pipelines/inpaint.py)."""
@@ -169,7 +170,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
                 image_u8, mask_u8, guidance_scale, cond_scale_table, seeds,
                 latents_in, pos_t_in, neg_t_in, ip_embeds, ip_scale,
                 num_steps, out_mode, guess_mode, branch_cache_interval,
-                clip_skip, with_callback, custom_timesteps,
+                clip_skip, with_callback, custom_timesteps, sampler,
             )
 
     def _generate_fn(
@@ -196,6 +197,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         clip_skip: int = 0,
         with_callback: bool = False,
         custom_timesteps=None,
+        sampler: str = "unipc",
     ):
         # device-side prep (uint8 boundary): pixel-space pre-mask
         # (app.py:342-345) and keep-mask channel
@@ -203,8 +205,19 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         keep_mask = 1.0 - hole
         imgf = image_u8.astype(jnp.float32) * keep_mask
         masked_image = imgf / 127.5 - 1.0
-        sched = unipc.make_unipc_schedule(self.config.scheduler, num_steps,
-                                          custom_timesteps=custom_timesteps)
+        # the reference ships UniPC (app.py:197); any registry sampler is
+        # accepted — notably "lcm" for LCM-LoRA-merged few-step sampling
+        if sampler == "unipc":
+            mod = unipc
+            sched = unipc.make_unipc_schedule(
+                self.config.scheduler, num_steps,
+                custom_timesteps=custom_timesteps,
+            )
+        else:
+            from powerpaint_tpu import schedulers as sched_registry
+
+            mod, make = sched_registry.get(sampler)
+            sched = make(self.config.scheduler, num_steps)
         b, h, w, _ = masked_image.shape  # noqa: E501
         h8, w8 = h // 8, w // 8
 
@@ -254,6 +267,11 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         keys = jax.vmap(jax.random.PRNGKey)(seeds)
         k_noise = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
         k_vae = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        step_keys = None
+        if getattr(mod, "stochastic", False):
+            # per-image step-noise keys (lcm etc.) — fold index 4 reserved,
+            # as in pipelines/inpaint.py
+            step_keys = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
 
         # --- conditioning latents (5ch), CFG-doubled ---
         moments = self.vae.apply(
@@ -293,14 +311,14 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
 
         def branch_taps(latents, i):
             lmi = jnp.concatenate([latents, latents], axis=0)
-            lmi = unipc.scale_model_input(sched, lmi, i)
+            lmi = mod.scale_model_input(sched, lmi, i)
             t = sched.timesteps[i]
             if guess_mode:
                 # run the branch on the conditional half only; zero taps for
                 # the uncond half (reference :1404-1427)
                 down, mid, up = self.brushnet.apply(
                     {"params": params["brushnet"]},
-                    unipc.scale_model_input(sched, latents, i), t,
+                    mod.scale_model_input(sched, latents, i), t,
                     cond_task[b:], cond5[:b],
                     conditioning_scale=cond_scale_table[i], guess_mode=True,
                 )
@@ -336,7 +354,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         def body(carry, i):
             latents, state, cache = carry
             lmi = jnp.concatenate([latents, latents], axis=0)
-            lmi = unipc.scale_model_input(sched, lmi, i)
+            lmi = mod.scale_model_input(sched, lmi, i)
             t = sched.timesteps[i]
             if caching:
                 key_step = (i % branch_cache_interval) == 0
@@ -361,10 +379,21 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             eps = eps_u + guidance_scale * (eps_t - eps_u)
             if with_callback:
                 jax.debug.callback(self._run_step_callback, i, latents)
-            latents, state = unipc.step(sched, state, eps, i, latents)
+            if getattr(mod, "stochastic", False) and step_keys is not None:
+                step_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i), latents.shape[1:],
+                        jnp.float32,
+                    )
+                )(step_keys)
+                latents, state = mod.step(
+                    sched, state, eps, i, latents, noise=step_noise
+                )
+            else:
+                latents, state = mod.step(sched, state, eps, i, latents)
             return (latents, state, cache), None
 
-        state = unipc.init_state(sched, latents.shape, latents.dtype)
+        state = mod.init_state(sched, latents.shape, latents.dtype)
         (latents, _, _), _ = jax.lax.scan(
             body, (latents, state, cache0), jnp.arange(sched.num_steps)
         )
@@ -437,6 +466,7 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         width: Optional[int] = None,
         timesteps=None,
         cross_attention_kwargs: Optional[dict] = None,
+        scheduler: str = "unipc",
     ):
         """``ip_adapter_image_embeds``: raw CLIP image embeds, shape
         (ip_adapter_dim,) or (B, ip_adapter_dim) — the reference's
@@ -462,8 +492,20 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             check_image_mask,
         )
 
+        from powerpaint_tpu import schedulers as sched_registry
+
+        scheduler = scheduler.lower()
+        try:
+            sched_mod, _ = sched_registry.get(scheduler)
+        except ValueError as e:
+            raise InputValidationError(str(e)) from e
         custom_ts = None
         if timesteps is not None:
+            if scheduler != "unipc":
+                raise InputValidationError(
+                    "explicit timesteps= lists are only supported with the "
+                    "unipc scheduler on the v2 pipeline"
+                )
             from powerpaint_tpu.schedulers.common import (
                 custom_timesteps_array,
             )
@@ -575,6 +617,11 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             np.float32,
         )
         cond_scale_table = keeps * brushnet_conditioning_scale
+        imap = getattr(sched_mod, "iteration_step_map", None)
+        if imap is not None:
+            # samplers with >1 model eval per user step (heun): expand the
+            # per-user-step gating table onto the iteration axis
+            cond_scale_table = cond_scale_table[imap(S)]
 
         if ip_adapter_image is not None:
             if ip_adapter_image_embeds is not None:
@@ -664,5 +711,6 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             int(clip_skip),
             callback is not None,
             custom_ts,
+            scheduler,
         )
         return finish(out)

@@ -203,6 +203,11 @@ class ControlNetPipeline(InpaintPipeline):
         rng_eta = jax.random.PRNGKey(0)  # unused unless eta > 0
         if eta > 0.0:
             rng_eta = jax.random.fold_in(keys[0], 3)
+        step_keys = None
+        if getattr(mod, "stochastic", False):
+            # per-image step-noise keys (euler_a/dpm_sde/lcm) — fold index
+            # 4 reserved, as in pipelines/inpaint.py
+            step_keys = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
 
         def vae_sample(images, ks):
             moments = self.vae.apply(
@@ -281,6 +286,16 @@ class ControlNetPipeline(InpaintPipeline):
                 )
                 latents, state = ddim.step(
                     sched, state, eps, i, latents, eta=eta, noise=step_noise
+                )
+            elif getattr(mod, "stochastic", False) and step_keys is not None:
+                step_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i), latents.shape[1:],
+                        jnp.float32,
+                    )
+                )(step_keys)
+                latents, state = mod.step(
+                    sched, state, eps, i, latents, noise=step_noise
                 )
             else:
                 latents, state = mod.step(sched, state, eps, i, latents)
@@ -499,6 +514,11 @@ class ControlNetPipeline(InpaintPipeline):
             ],
             np.float32,
         )
+        imap = getattr(sched_registry.get(scheduler)[0],
+                       "iteration_step_map", None)
+        if imap is not None:
+            # heun: expand per-user-step gating onto the iteration axis
+            keeps = keeps[imap(S_exec)]
         b = img_b.shape[0]
         seeds = (np.asarray(seed, np.int64)
                  + np.arange(b, dtype=np.int64)).astype(np.int32)
@@ -642,6 +662,10 @@ class ControlNetPipeline(InpaintPipeline):
             ],
             np.float32,
         )
+        imap = getattr(sched_registry.get(scheduler)[0],
+                       "iteration_step_map", None)
+        if imap is not None:
+            keeps = keeps[imap(strength_steps)]
 
         self._active_callback = callback or self.step_callback
         self._active_callback_steps = max(1, int(callback_steps))

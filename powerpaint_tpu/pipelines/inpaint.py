@@ -147,6 +147,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         noise: Optional[jnp.ndarray] = None,
         eta: float = 0.0,
         eta_rng: Optional[jax.Array] = None,
+        step_keys: Optional[jax.Array] = None,
         encoder_cache_interval: int = 1,
         with_callback: bool = False,
     ) -> jnp.ndarray:
@@ -217,6 +218,18 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
                 )
                 latents, state = ddim.step(
                     sched, state, eps, i, latents, eta=eta, noise=step_noise
+                )
+            elif getattr(mod, "stochastic", False) and step_keys is not None:
+                # ancestral/SDE/LCM step noise: per-image threefry keys so
+                # batched requests reproduce standalone runs bit-exactly
+                step_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i), latents.shape[1:],
+                        jnp.float32,
+                    )
+                )(step_keys)
+                latents, state = mod.step(
+                    sched, state, eps, i, latents, noise=step_noise
                 )
             else:
                 latents, state = mod.step(sched, state, eps, i, latents)
@@ -348,6 +361,12 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         rng_eta = jax.random.PRNGKey(0)  # unused unless eta>0
         if eta > 0.0:
             rng_eta = jax.random.fold_in(keys[0], 3)
+        step_keys = None
+        if getattr(mod, "stochastic", False):
+            # per-image noise stream for stochastic samplers (euler_a /
+            # dpm_sde / lcm); fold index 4 is reserved for it (0-2: img
+            # keys, 3: ddim eta)
+            step_keys = jax.vmap(lambda k: jax.random.fold_in(k, 4))(keys)
 
         def vae_sample(images, ks):
             """Per-image-keyed VAE latent sampling (vs one batch key)."""
@@ -383,7 +402,7 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
         latents = self._denoise_loop(
             params, mod, sched, latents, mask_lat2, masked_lat2, cond,
             guidance_scale, image_latents=image_latents, known_mask=mask_lat,
-            noise=noise, eta=eta, eta_rng=rng_eta,
+            noise=noise, eta=eta, eta_rng=rng_eta, step_keys=step_keys,
             encoder_cache_interval=encoder_cache_interval,
             with_callback=with_callback,
         )

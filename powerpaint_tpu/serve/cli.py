@@ -55,9 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=45)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--scheduler", default="ddim",
-                   choices=["ddim", "pndm", "unipc", "dpm", "euler"],
-                   help="v1 sampler (v2 always uses UniPC, as the reference)")
+    p.add_argument("--scheduler", default=None,
+                   choices=["ddim", "pndm", "unipc", "dpm", "euler",
+                            "euler_a", "heun", "lms", "deis", "dpm_sde",
+                            "lcm"],
+                   help="sampler (default: ddim for v1, unipc for v2 — the "
+                        "reference defaults); lcm pairs with an LCM-LoRA "
+                        "merged via --lora")
     p.add_argument("--control_type", default=None,
                    choices=[None, "canny", "depth", "hed", "pose"])
     p.add_argument("--horizontal_expansion", type=float, default=1.0)
@@ -204,7 +208,9 @@ def run_one_shot(args) -> int:
             print(f"aot: ignoring {args.aot_cache}: {e}", file=sys.stderr)
 
     kwargs = {}
-    if args.version == "ppt-v1" and not args.control_type:
+    if args.scheduler is not None:
+        # all three pipelines accept scheduler= (v2 gained it in round 3;
+        # its default stays unipc, the reference's app.py:197)
         kwargs["scheduler"] = args.scheduler
     if args.control_type:
         from powerpaint_tpu.tasks.control import get_control_image
