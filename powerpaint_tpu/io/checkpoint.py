@@ -105,6 +105,10 @@ def load_ppt_v1(
     if os.path.isfile(root):
         return load_single_file(root, base_dir=base_dir, config=config,
                                 dtype=dtype)
+    if _is_native(root):
+        # our own orbax format (save_native / train CLI output)
+        return _load_native_pipeline(root, base_dir=base_dir, dtype=dtype,
+                                     expect="v1")
     base_dir = base_dir or root
     config = config or ppt_v1_config()
 
@@ -193,6 +197,9 @@ def load_ppt_v2(
     """Build a BrushNetPipeline from the ppt-v2 two-directory layout."""
     from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
 
+    if _is_native(root):
+        return _load_native_pipeline(root, base_dir=None, dtype=dtype,
+                                     expect="v2")
     config = ppt_v2_config()
     base = os.path.join(root, "realisticVisionV60B1_v51VAE")
     bn_dir = os.path.join(root, "PowerPaint_Brushnet")
@@ -296,6 +303,37 @@ def load_safety_checker(d: str, *, dtype=None):
 # ---------------------------------------------------------------------------
 # native orbax checkpoints
 # ---------------------------------------------------------------------------
+
+
+def _is_native(root: str) -> bool:
+    return (os.path.isdir(root)
+            and os.path.exists(os.path.join(root, "config.json"))
+            and os.path.exists(os.path.join(root, "params")))
+
+
+def _load_native_pipeline(root: str, *, base_dir=None, dtype=jnp.bfloat16,
+                          expect: str = "v1"):
+    """Serve weights saved with save_native (e.g. the train CLI's output):
+    config + params from orbax; tokenizer from ``base_dir`` if it carries a
+    vocab, else the hash tokenizer the training run used."""
+    config, params = load_native(root, dtype=dtype)
+    is_v2 = config.brushnet is not None
+    if (expect == "v2") != is_v2:
+        raise ValueError(
+            f"native checkpoint {root!r} is ppt-{'v2' if is_v2 else 'v1'}; "
+            f"use --version ppt-{'v2' if is_v2 else 'v1'}"
+        )
+    tokenizer = _build_tokenizer(
+        base_dir or root, config.text_encoder.vocab_size,
+        config.text_encoder.num_external_tokens,
+    )
+    if is_v2:
+        from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+        return BrushNetPipeline(config, params, tokenizer, dtype=dtype)
+    from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+    return InpaintPipeline(config, params, tokenizer, dtype=dtype)
 
 
 def save_native(path: str, config: PowerPaintConfig, params: dict) -> None:

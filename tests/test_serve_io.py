@@ -131,6 +131,22 @@ def test_native_checkpoint_roundtrip(tmp_path, pipe):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_ppt_v1_detects_native_layout(tmp_path, pipe):
+    """load_ppt_v1 on a save_native dir (the train CLI's output) builds a
+    working pipeline — the train -> serve roundtrip."""
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1, save_native
+
+    save_native(str(tmp_path / "native"), pipe.config, pipe.params)
+    loaded = load_ppt_v1(str(tmp_path / "native"), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    a = pipe(img, mask, prompt="x", num_inference_steps=2, seed=1)
+    b = loaded(img, mask, prompt="x", num_inference_steps=2, seed=1)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_load_ppt_v1_from_torch_layout(tmp_path):
     """Full loader path: synthetic reference-layout checkpoint dir ->
     InpaintPipeline with identical outputs to the source params."""
