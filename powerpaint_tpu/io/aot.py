@@ -33,7 +33,7 @@ logger = logging.getLogger("powerpaint_tpu.aot")
 # changing any argument shape or env knob (e.g. flash-attention block
 # retunes) — stale serialized executables must not silently serve the old
 # program.  Part of the compute-mode tag below.
-KERNEL_REV = 4  # rev 4: out_uint8 static became out_mode (str)
+KERNEL_REV = 5  # rev 5: flash attention exp2 softmax (log2e folded in q)
 
 # v2 layout: magic line, 8-byte little-endian JSON-header length, JSON
 # header (validated BEFORE any unpickling — .aot files are trusted local

@@ -26,7 +26,8 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *, kv_len, block_kv
+    q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *, kv_len, block_kv,
+    use_exp2,
 ):
     """VPU-lean online softmax.  At SD head dims (D=40..160 << 128 lanes)
     the dots are cheap and the kernel is bound by the per-(q,kv)-element
@@ -62,8 +63,16 @@ def _flash_kernel(
 
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (Bq, Bk) fp32
+    if use_exp2:
+        # scores arrive in log2 units (log2(e) folded into the q scale on
+        # the host side): exp(x) == exp2(x * log2 e), so the two hot
+        # transcendentals become bare exp2 — the primitive exp lowers to
+        # anyway — with zero extra multiplies per score element
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # (Bq, Bk) fp32
+    else:
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (Bq, Bk) fp32
 
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
@@ -83,7 +92,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv", "debug_interpret")
+    jax.jit, static_argnames=("scale", "block_q", "block_kv",
+                              "debug_interpret", "use_exp2")
 )
 def _flash_bnsd(
     q: jax.Array,
@@ -93,6 +103,7 @@ def _flash_bnsd(
     block_q: int,
     block_kv: int,
     debug_interpret: bool = False,
+    use_exp2: bool = True,
 ) -> jax.Array:
     """q: (G, Sq, D), k/v: (G, Sk, D) where G = batch*heads."""
     g, sq, d = q.shape
@@ -101,7 +112,11 @@ def _flash_bnsd(
     nk = pl.cdiv(skv, block_kv)
 
     # fold the softmax scale into q: one multiply per q element instead of
-    # one per (q, kv) score element (the kernel is VPU-bound at SD shapes)
+    # one per (q, kv) score element (the kernel is VPU-bound at SD shapes);
+    # exp2 mode additionally folds log2(e) here so the kernel's softmax
+    # runs in log2 units (bitwise-equivalent math, cheaper transcendental)
+    if use_exp2:
+        scale = scale * math.log2(math.e)
     q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     # ones column on v: the PV matmul then emits the softmax denominator in
     # its last output column (free — MXU lanes beyond D are padding anyway)
@@ -120,7 +135,7 @@ def _flash_bnsd(
         v = jnp.pad(v, ((0, 0), (0, skv_pad), (0, 0)))
 
     kernel = functools.partial(
-        _flash_kernel, kv_len=skv, block_kv=block_kv
+        _flash_kernel, kv_len=skv, block_kv=block_kv, use_exp2=use_exp2
     )
     out = pl.pallas_call(
         kernel,
@@ -168,6 +183,7 @@ def flash_attention(
     block_q: int = 1024,
     block_kv: int = 2048,
     debug_interpret: bool = False,
+    use_exp2: bool = True,
 ) -> jax.Array:
     # default blocks re-tuned round 3 on v5e (scripts/perf_attn5.py sweep
     # of the VPU-lean kernel at S=4096, D=40): q1024/kv2048 measures
@@ -185,6 +201,6 @@ def flash_attention(
 
     out = _flash_bnsd(
         fold(q, sq), fold(k, skv), fold(v, skv), scale, block_q, block_kv,
-        debug_interpret,
+        debug_interpret, use_exp2,
     )
     return out.reshape(b, n, sq, d).transpose(0, 2, 1, 3)

