@@ -26,7 +26,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("powerpaint_tpu.train")
     p.add_argument("--mode", default="lora",
-                   choices=["v1", "task_tokens", "v2", "lora"])
+                   choices=["v1", "task_tokens", "v2", "lora",
+                            "lcm_distill"])
     p.add_argument("--version", default=None,
                    choices=[None, "ppt-v1", "ppt-v2"],
                    help="model generation (default: ppt-v2 for --mode v2, "
@@ -143,13 +144,20 @@ def main(argv=None) -> int:
     base_loss = (make_v2_loss if version == "ppt-v2" else make_v1_loss)(
         cfg, dtype=dtype, snr_gamma=args.snr_gamma)
     lr_default = {"v1": 1e-5, "v2": 1e-5, "task_tokens": 5e-4,
-                  "lora": 1e-4}[args.mode]
+                  "lora": 1e-4, "lcm_distill": 1e-4}[args.mode]
     lr = args.lr if args.lr is not None else lr_default
 
-    if args.mode == "lora":
+    if args.mode in ("lora", "lcm_distill"):
         lora = init_lora_tree(params["unet"], rank=args.lora_rank,
                               rng=jax.random.PRNGKey(args.seed + 1))
-        loss_fn = make_lora_loss(base_loss, params)
+        if args.mode == "lcm_distill":
+            if version != "ppt-v1":
+                raise SystemExit("lcm_distill currently targets ppt-v1")
+            from powerpaint_tpu.train.distill import make_lcm_distill_loss
+
+            loss_fn = make_lcm_distill_loss(cfg, params, dtype=dtype)
+        else:
+            loss_fn = make_lora_loss(base_loss, params)
         tx = make_optimizer(lr, weight_decay=args.weight_decay)
         state = init_train_state(lora, tx, ema=args.ema is not None)
     else:
@@ -188,10 +196,13 @@ def main(argv=None) -> int:
     # ---- final artifacts
     final = trainer.state.ema if trainer.state.ema is not None \
         else trainer.state.params
-    if args.mode == "lora":
+    if args.mode in ("lora", "lcm_distill"):
         out = os.path.join(args.out, "lora.npz")
         save_lora_npz(out, jax.device_get(final))
-        print(f"wrote {out} (loadable via io/lora or --lora on the CLI)")
+        hint = (" — serve with scheduler='lcm', guidance_scale=1"
+                if args.mode == "lcm_distill" else "")
+        print(f"wrote {out} (loadable via io/lora or --lora on the "
+              f"CLI){hint}")
     else:
         from powerpaint_tpu.io.checkpoint import save_native
 

@@ -157,6 +157,9 @@ def batches(
     tasks = tuple(tasks) if tasks else TASKS
     rng = np.random.RandomState(seed + 7)
     it = iter(source)
+    # the empty-prompt row: CFG-style teachers (train/distill.py) need the
+    # unconditional ids alongside every batch
+    uncond = np.asarray(tokenizer([""])[0])
     while True:
         imgs: List[np.ndarray] = []
         msks: List[np.ndarray] = []
@@ -182,6 +185,7 @@ def batches(
             "image_u8": np.stack(imgs),
             "mask_u8": np.stack(msks),
             "ids": np.stack(ids),
+            "ids_uncond": np.tile(uncond[None], (batch_size, 1)),
         }
         if version == "ppt-v2":
             batch["ids_plain"] = np.stack(ids_plain)
