@@ -151,11 +151,14 @@ def main(argv=None) -> int:
         lora = init_lora_tree(params["unet"], rank=args.lora_rank,
                               rng=jax.random.PRNGKey(args.seed + 1))
         if args.mode == "lcm_distill":
-            if version != "ppt-v1":
-                raise SystemExit("lcm_distill currently targets ppt-v1")
-            from powerpaint_tpu.train.distill import make_lcm_distill_loss
+            from powerpaint_tpu.train.distill import (
+                make_lcm_distill_loss,
+                make_lcm_distill_loss_v2,
+            )
 
-            loss_fn = make_lcm_distill_loss(cfg, params, dtype=dtype)
+            mk = (make_lcm_distill_loss_v2 if version == "ppt-v2"
+                  else make_lcm_distill_loss)
+            loss_fn = mk(cfg, params, dtype=dtype)
         else:
             loss_fn = make_lora_loss(base_loss, params)
         tx = make_optimizer(lr, weight_decay=args.weight_decay)

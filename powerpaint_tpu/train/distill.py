@@ -163,6 +163,112 @@ def make_lcm_distill_loss(
     return loss_fn
 
 
+def make_lcm_distill_loss_v2(
+    config: PowerPaintConfig,
+    frozen_params: Dict,
+    *,
+    dtype=jnp.float32,
+    w_range: Tuple[float, float] = (4.0, 12.0),
+    huber_c: float = 0.001,
+    num_ddim_sections: Optional[int] = None,
+) -> Callable:
+    """LCM-LoRA distillation of the v2 BrushNet stack: the LoRA student
+    sits on the BASE UNet; the BrushNet branch (and both text encoders)
+    stay frozen and feed taps to teacher and student alike.  Batch needs
+    image_u8/mask_u8/ids/ids_plain/ids_uncond (train/data.py,
+    version='ppt-v2')."""
+    from powerpaint_tpu.models.brushnet import BrushNetModel
+
+    assert config.brushnet is not None
+    unet = UNet2DConditionModel(config.unet, dtype=dtype)
+    brushnet = BrushNetModel(config.brushnet, dtype=dtype)
+    vae = AutoencoderKL(config.vae, dtype=dtype)
+    text_task = CLIPTextModel(config.text_encoder, dtype=dtype)
+    text_plain = CLIPTextModel(
+        config.text_encoder.replace(num_external_tokens=0), dtype=dtype
+    )
+    sched_cfg = config.scheduler
+    acp = jnp.asarray(alphas_cumprod(sched_cfg), jnp.float32)
+    T = sched_cfg.num_train_timesteps
+    origin = num_ddim_sections or sched_cfg.original_inference_steps
+    k = T // origin
+    grid = jnp.asarray(np.arange(1, origin + 1) * k - 1, jnp.int32)
+    sf = config.vae.scaling_factor
+    ts_scale = sched_cfg.timestep_scaling
+
+    def loss_fn(lora_tree, batch, rng):
+        img = batch["image_u8"].astype(jnp.float32) / 127.5 - 1.0
+        hole = (batch["mask_u8"] >= 128).astype(jnp.float32)
+        keep = 1.0 - hole
+        masked = img * keep
+        b, h, w_, _ = img.shape
+        h8, w8 = h // 8, w_ // 8
+        k_lat, k_mlat, k_i, k_eps, k_w = jax.random.split(rng, 5)
+
+        z0 = _vae_sample(vae, frozen_params["vae"], img, k_lat, sf)
+        cond_lat = _vae_sample(vae, frozen_params["vae"], masked, k_mlat,
+                               sf)
+        keep8 = jax.image.resize(keep, (b, h8, w8, 1), method="nearest")
+        cond5 = jnp.concatenate([cond_lat, keep8], axis=-1).astype(dtype)
+
+        i = jax.random.randint(k_i, (b,), 1, origin)
+        t = grid[i]
+        t_prev = grid[i - 1]
+        eps = jax.random.normal(k_eps, z0.shape, jnp.float32)
+        a = acp[t][:, None, None, None]
+        x_t = jnp.sqrt(a) * z0 + jnp.sqrt(1.0 - a) * eps
+
+        ctx_task = text_task.apply(
+            {"params": frozen_params["text_encoder_brushnet"]},
+            batch["ids"])
+        ctx_plain = text_plain.apply(
+            {"params": frozen_params["text_encoder"]}, batch["ids_plain"])
+        ctx_u = text_plain.apply(
+            {"params": frozen_params["text_encoder"]}, batch["ids_uncond"])
+
+        def eps_at(params_unet, x, tt, ctx):
+            down, mid, up = brushnet.apply(
+                {"params": frozen_params["brushnet"]}, x.astype(dtype), tt,
+                ctx_task, cond5, conditioning_scale=1.0,
+            )
+            return unet.apply(
+                {"params": params_unet}, x.astype(dtype), tt, ctx,
+                down_block_add_samples=down, mid_block_add_sample=mid,
+                up_block_add_samples=up,
+            ).astype(jnp.float32)
+
+        # teacher CFG + one DDIM grid step
+        w = jax.random.uniform(k_w, (b,), jnp.float32,
+                               w_range[0], w_range[1])[:, None, None, None]
+        teacher = frozen_params["unet"]
+        e_cfg = (lambda e_u, e_c: e_u + w * (e_c - e_u))(
+            eps_at(teacher, x_t, t, ctx_u),
+            eps_at(teacher, x_t, t, ctx_plain),
+        )
+        x_prev = jax.lax.stop_gradient(
+            ddim_solver_step(x_t, e_cfg, acp, t, t_prev))
+
+        student = apply_lora(frozen_params["unet"], lora_tree)
+
+        def f_at(x, tt):
+            e = eps_at(student, x, tt, ctx_plain)
+            a_t = acp[tt][:, None, None, None]
+            x0 = (x - jnp.sqrt(1.0 - a_t) * e) / jnp.sqrt(a_t)
+            c_skip, c_out = boundary_scalings(tt, ts_scale)
+            return (c_out[:, None, None, None] * x0
+                    + c_skip[:, None, None, None] * x)
+
+        f_online = f_at(x_t, t)
+        f_target = jax.lax.stop_gradient(f_at(x_prev, t_prev))
+        per = jnp.mean(_huber(f_online - f_target, huber_c), axis=(1, 2, 3))
+        loss = jnp.mean(per)
+        return loss, {"loss": loss,
+                      "consistency_gap": jnp.mean(
+                          jnp.abs(f_online - f_target))}
+
+    return loss_fn
+
+
 def uncond_ids(tokenizer) -> np.ndarray:
     """(77,) ids of the empty prompt (the teacher's CFG uncond row)."""
     return np.asarray(tokenizer([""])[0])
