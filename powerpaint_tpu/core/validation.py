@@ -85,6 +85,28 @@ def check_call_args(
         )
 
 
+def check_scheduler(name: str, scheduler_config, num_steps: int):
+    """Resolve + dry-build the sampler's tables ON THE HOST so bad
+    combinations (unknown name, lcm steps > original_inference_steps,
+    degenerate grids) surface as InputValidationError — an HTTP 400 — at
+    call time instead of a raw ValueError mid-jit-dispatch (a 500).
+    Returns the scheduler module (callers use its optional
+    ``iteration_step_map`` hook).  Table construction is host numpy —
+    microseconds next to the generate call."""
+    from powerpaint_tpu import schedulers as _registry
+
+    if not 1 <= int(num_steps) <= 1000:  # bound BEFORE building tables
+        raise InputValidationError(
+            f"num_inference_steps must be in [1, 1000], got {num_steps}"
+        )
+    try:
+        mod, make = _registry.get(name)
+        make(scheduler_config, num_steps)
+    except ValueError as e:
+        raise InputValidationError(str(e)) from e
+    return mod
+
+
 def check_control_image(
     control_image: Optional[np.ndarray], image: np.ndarray
 ) -> None:

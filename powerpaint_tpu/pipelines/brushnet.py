@@ -492,13 +492,15 @@ class BrushNetPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
             check_image_mask,
         )
 
-        from powerpaint_tpu import schedulers as sched_registry
+        from powerpaint_tpu.core.validation import check_scheduler
 
         scheduler = scheduler.lower()
-        try:
-            sched_mod, _ = sched_registry.get(scheduler)
-        except ValueError as e:
-            raise InputValidationError(str(e)) from e
+        # resolve + dry-build on the host: unknown names AND bad
+        # name/step combinations (lcm steps > original grid) become 400s
+        sched_mod = check_scheduler(
+            scheduler, self.config.scheduler,
+            num_inference_steps if timesteps is None else 1,
+        )
         custom_ts = None
         if timesteps is not None:
             if scheduler != "unipc":

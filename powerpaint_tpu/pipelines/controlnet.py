@@ -514,8 +514,11 @@ class ControlNetPipeline(InpaintPipeline):
             ],
             np.float32,
         )
-        imap = getattr(sched_registry.get(scheduler)[0],
-                       "iteration_step_map", None)
+        from powerpaint_tpu.core.validation import check_scheduler
+
+        sched_mod = check_scheduler(scheduler, self.config.scheduler,
+                                    num_inference_steps)
+        imap = getattr(sched_mod, "iteration_step_map", None)
         if imap is not None:
             # heun: expand per-user-step gating onto the iteration axis
             keeps = keeps[imap(S_exec)]
@@ -662,8 +665,11 @@ class ControlNetPipeline(InpaintPipeline):
             ],
             np.float32,
         )
-        imap = getattr(sched_registry.get(scheduler)[0],
-                       "iteration_step_map", None)
+        from powerpaint_tpu.core.validation import check_scheduler
+
+        sched_mod = check_scheduler(scheduler, self.config.scheduler,
+                                    num_inference_steps)
+        imap = getattr(sched_mod, "iteration_step_map", None)
         if imap is not None:
             keeps = keeps[imap(strength_steps)]
 

@@ -591,6 +591,10 @@ class InpaintPipeline(AotPipelineMixin, AsyncDispatchMixin, LoraMixin,
                 guidance_scale=float(g), strength=strength,
                 fitting_degree=float(f),
             )
+        from powerpaint_tpu.core.validation import check_scheduler
+
+        check_scheduler(scheduler, self.config.scheduler,
+                        num_inference_steps)
 
         ids = np.stack([
             self.encode_task(add_task(p, n, task, "ppt-v1"))

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
+from powerpaint_tpu.schedulers.common import (
+    alphas_cumprod,
+    kept_timesteps,
+    sigma_add_noise_at,
+    sigma_scale_model_input,
+)
 
 stochastic = True
 
@@ -74,19 +79,14 @@ def make_ancestral_schedule(
     )
 
 
-def add_noise_at(sched: AncestralSchedule, x0, noise, i):
-    s = sched.sigmas[jnp.clip(i, 0, sched.num_steps)]
-    return (x0.astype(jnp.float32)
-            + s * noise.astype(jnp.float32)).astype(x0.dtype)
+add_noise_at = sigma_add_noise_at
 
 
 def init_state(sched, shape, dtype) -> AncestralState:
     return AncestralState(dummy=jnp.zeros((), jnp.float32))
 
 
-def scale_model_input(sched: AncestralSchedule, x, i):
-    s = sched.sigmas[i]
-    return (x.astype(jnp.float32) / jnp.sqrt(s * s + 1.0)).astype(x.dtype)
+scale_model_input = sigma_scale_model_input
 
 
 def step(

@@ -147,6 +147,33 @@ def add_noise(
     return out.astype(x0.dtype)
 
 
+def vp_add_noise_at(sched, x0, noise, i):
+    """q(x_t|x0) at STEP INDEX i for VP-space schedules exposing
+    ``timesteps`` + ``alphas_cumprod_j`` (dpm/deis/sde/lcm share this)."""
+    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
+    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
+    while a.ndim < x0.ndim:
+        a = a[..., None]
+    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
+        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
+    return out.astype(x0.dtype)
+
+
+def sigma_add_noise_at(sched, x0, noise, i):
+    """x = x0 + sigma_i * noise for sigma-space schedules exposing a
+    ``sigmas`` table with sigmas[num_steps] == 0 (euler family/lms)."""
+    s = sched.sigmas[jnp.clip(i, 0, sched.num_steps)]
+    return (x0.astype(jnp.float32)
+            + s * noise.astype(jnp.float32)).astype(x0.dtype)
+
+
+def sigma_scale_model_input(sched, x, i):
+    """x / sqrt(sigma_i^2 + 1) (the Karras input scaling); reads
+    ``sched.sigmas``."""
+    s = sched.sigmas[i]
+    return (x.astype(jnp.float32) / jnp.sqrt(s * s + 1.0)).astype(x.dtype)
+
+
 def pred_x0_from_eps(x_t, eps, alpha_t):
     return (x_t - jnp.sqrt(1.0 - alpha_t) * eps) / jnp.sqrt(alpha_t)
 

@@ -18,7 +18,7 @@ all coefficients are exact host-precomputed tables.  The first step (and,
 with lower_order_final, the last) is first order, where the update is
 algebraically identical to DDIM.  On a constant-x0 model eps is constant
 and sum_k C[i,k] = rho_{i+1} - rho_i, making the sampler exact — pinned in
-tests/test_scheduler_exactness.py.
+tests/test_new_samplers.py.
 """
 
 from __future__ import annotations
@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
+from powerpaint_tpu.schedulers.common import (
+    alphas_cumprod,
+    kept_timesteps,
+    vp_add_noise_at,
+)
 
 
 class DEISState(NamedTuple):
@@ -109,14 +113,7 @@ def make_deis_schedule(
     )
 
 
-def add_noise_at(sched: DEISSchedule, x0, noise, i):
-    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
-    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
-    while a.ndim < x0.ndim:
-        a = a[..., None]
-    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
-        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
-    return out.astype(x0.dtype)
+add_noise_at = vp_add_noise_at
 
 
 def init_state(sched: DEISSchedule, shape, dtype) -> DEISState:

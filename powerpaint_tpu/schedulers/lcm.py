@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod
+from powerpaint_tpu.schedulers.common import alphas_cumprod, vp_add_noise_at
 
 stochastic = True
 
@@ -100,14 +100,7 @@ def make_lcm_schedule(
     )
 
 
-def add_noise_at(sched: LCMSchedule, x0, noise, i):
-    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
-    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
-    while a.ndim < x0.ndim:
-        a = a[..., None]
-    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
-        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
-    return out.astype(x0.dtype)
+add_noise_at = vp_add_noise_at
 
 
 def init_state(sched, shape, dtype) -> LCMState:

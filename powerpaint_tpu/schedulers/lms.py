@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
+from powerpaint_tpu.schedulers.common import (
+    alphas_cumprod,
+    kept_timesteps,
+    sigma_add_noise_at,
+    sigma_scale_model_input,
+)
 
 ORDER = 4
 
@@ -87,10 +92,7 @@ def make_lms_schedule(
     )
 
 
-def add_noise_at(sched: LMSSchedule, x0, noise, i):
-    s = sched.sigmas[jnp.clip(i, 0, sched.num_steps)]
-    return (x0.astype(jnp.float32)
-            + s * noise.astype(jnp.float32)).astype(x0.dtype)
+add_noise_at = sigma_add_noise_at
 
 
 def init_state(sched: LMSSchedule, shape, dtype) -> LMSState:
@@ -98,9 +100,7 @@ def init_state(sched: LMSSchedule, shape, dtype) -> LMSState:
     return LMSState(d1=z, d2=z, d3=z)
 
 
-def scale_model_input(sched: LMSSchedule, x, i):
-    s = sched.sigmas[i]
-    return (x.astype(jnp.float32) / jnp.sqrt(s * s + 1.0)).astype(x.dtype)
+scale_model_input = sigma_scale_model_input
 
 
 def step(

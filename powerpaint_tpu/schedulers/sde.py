@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from powerpaint_tpu.core.config import SchedulerConfig
-from powerpaint_tpu.schedulers.common import alphas_cumprod, kept_timesteps
+from powerpaint_tpu.schedulers.common import (
+    alphas_cumprod,
+    kept_timesteps,
+    vp_add_noise_at,
+)
 
 stochastic = True
 
@@ -103,14 +107,7 @@ def make_sde_schedule(
     )
 
 
-def add_noise_at(sched: SDESchedule, x0, noise, i):
-    t = sched.timesteps[jnp.clip(i, 0, sched.num_steps - 1)]
-    a = sched.alphas_cumprod_j[jnp.clip(t, 0)].astype(jnp.float32)
-    while a.ndim < x0.ndim:
-        a = a[..., None]
-    out = jnp.sqrt(a) * x0.astype(jnp.float32) \
-        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
-    return out.astype(x0.dtype)
+add_noise_at = vp_add_noise_at
 
 
 def init_state(sched: SDESchedule, shape, dtype) -> SDEState:

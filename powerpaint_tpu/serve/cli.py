@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=45)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--seed", type=int, default=0)
+    # literal copy of powerpaint_tpu.schedulers.SCHEDULERS: the registry
+    # imports jax, which --help must not pay for; synced by
+    # tests/test_new_samplers.py::test_cli_scheduler_choices_match_registry
     p.add_argument("--scheduler", default=None,
                    choices=["ddim", "pndm", "unipc", "dpm", "euler",
                             "euler_a", "heun", "lms", "deis", "dpm_sde",

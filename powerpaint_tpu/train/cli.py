@@ -130,7 +130,12 @@ def main(argv=None) -> int:
             cfg = ppt_v1_config() if version == "ppt-v1" else ppt_v2_config()
         params = init_params(cfg, jax.random.PRNGKey(args.seed),
                              sample_hw=8, dtype=dtype)
-        tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
+        # the hash vocab MUST match the config's vocab_size: reloading the
+        # saved native checkpoint rebuilds the tokenizer from the config
+        # (io/checkpoint._load_native_pipeline), and a different bucket
+        # count would hash prompts to ids the training never touched
+        tok = TokenizerWrapper(
+            HashTokenizer(vocab_size=cfg.text_encoder.vocab_size))
         add_task_tokens(tok)
 
     # ---- data

@@ -119,10 +119,14 @@ def make_lcm_distill_loss(
         mlat = _vae_sample(vae, frozen_params["vae"], masked, k_mlat, sf)
         mask8 = jax.image.resize(mask, (b, h8, w8, 1), method="nearest")
 
-        # coarse-grid index pairs: t = grid[i], t_prev = grid[i-1] (or 0)
-        i = jax.random.randint(k_i, (b,), 1, origin)
+        # coarse-grid pairs over the FULL grid incl. the boundary: t =
+        # grid[i], t_prev = grid[i-1], and for i == 0 t_prev = 0 where
+        # f(x, 0) = x is the structural identity (c_skip(0)=1, c_out(0)=0)
+        # that anchors the consistency chain to the data prediction — the
+        # diffusers LCM recipe's clamped start_timesteps - k
+        i = jax.random.randint(k_i, (b,), 0, origin)
         t = grid[i]
-        t_prev = grid[i - 1]
+        t_prev = jnp.where(i > 0, grid[jnp.maximum(i - 1, 0)], 0)
         eps = jax.random.normal(k_eps, z0.shape, jnp.float32)
         a = acp[t][:, None, None, None]
         x_t = jnp.sqrt(a) * z0 + jnp.sqrt(1.0 - a) * eps
@@ -211,9 +215,10 @@ def make_lcm_distill_loss_v2(
         keep8 = jax.image.resize(keep, (b, h8, w8, 1), method="nearest")
         cond5 = jnp.concatenate([cond_lat, keep8], axis=-1).astype(dtype)
 
-        i = jax.random.randint(k_i, (b,), 1, origin)
+        # full grid incl. the t_prev = 0 boundary anchor (see v1 loss)
+        i = jax.random.randint(k_i, (b,), 0, origin)
         t = grid[i]
-        t_prev = grid[i - 1]
+        t_prev = jnp.where(i > 0, grid[jnp.maximum(i - 1, 0)], 0)
         eps = jax.random.normal(k_eps, z0.shape, jnp.float32)
         a = acp[t][:, None, None, None]
         x_t = jnp.sqrt(a) * z0 + jnp.sqrt(1.0 - a) * eps

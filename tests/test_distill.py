@@ -189,3 +189,12 @@ def test_distilled_lora_serves_with_lcm_scheduler(setup):
     out = pipe(img, mask, prompt="a cat", num_inference_steps=4,
                guidance_scale=1.0, seed=3, scheduler="lcm")
     assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
+
+
+def test_boundary_anchor_identity_at_t0():
+    """f(x, 0) = x (c_skip(0)=1, c_out(0)=0): the structural identity that
+    anchors the consistency chain when the sampled pair hits the grid
+    boundary (i=0 -> t_prev=0)."""
+    c_skip, c_out = boundary_scalings(
+        jnp.asarray([0], jnp.int32), CFG.scheduler.timestep_scaling)
+    assert float(c_skip[0]) == 1.0 and float(c_out[0]) == 0.0

@@ -447,3 +447,13 @@ def test_v2_pipeline_accepts_lcm_scheduler():
         pipe(image, mask, prompt="x", scheduler="nope")
     with pytest.raises(InputValidationError):
         pipe(image, mask, prompt="x", scheduler="lcm", timesteps=[981, 1])
+
+
+def test_cli_scheduler_choices_match_registry():
+    """serve/cli hardcodes the sampler list (importing the registry would
+    pull jax into --help); this pins the copy to the canonical tuple."""
+    from powerpaint_tpu.serve.cli import build_parser
+
+    parser = build_parser()
+    action = next(a for a in parser._actions if a.dest == "scheduler")
+    assert tuple(action.choices) == registry.SCHEDULERS
