@@ -84,6 +84,7 @@ def main(argv=None) -> int:
         FolderSource,
         SyntheticSource,
         batches,
+        prefetch,
     )
     from powerpaint_tpu.train.loss import (
         make_lora_loss,
@@ -142,8 +143,10 @@ def main(argv=None) -> int:
     hw = 32 if args.tiny else args.resolution
     src = (FolderSource(args.data, hw=hw, seed=args.seed) if args.data
            else SyntheticSource(hw=hw, seed=args.seed))
-    data = batches(src, tok, args.batch_size, version=version,
-                   seed=args.seed)
+    data = prefetch(
+        batches(src, tok, args.batch_size, version=version, seed=args.seed),
+        size=2,
+    )
 
     # ---- loss + optimizer + state
     base_loss = (make_v2_loss if version == "ppt-v2" else make_v1_loss)(

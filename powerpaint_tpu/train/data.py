@@ -142,6 +142,38 @@ class FolderSource:
             yield img, cap
 
 
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: keeps ``size`` ready batches ahead of
+    the consumer so host-side work (image decode, mask rasterization,
+    tokenization — all GIL-releasing C calls) overlaps device compute.
+    The TPU-native analog of the reference stack's torch DataLoader
+    workers."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surface producer errors to the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def batches(
     source,
     tokenizer,

@@ -285,3 +285,20 @@ def test_trainer_checkpoint_exact_resume(v1_setup, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         t1.state.opt_state, again.opt_state)
+
+
+def test_prefetch_preserves_stream_and_propagates_errors():
+    from powerpaint_tpu.train.data import prefetch
+
+    assert list(prefetch(iter(range(7)), size=3)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), size=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
