@@ -385,3 +385,38 @@ def test_http_num_images_gallery(pipe):
         assert not np.array_equal(ims[0], ims[1])
     finally:
         server.shutdown()
+
+
+def test_http_bad_scheduler_combo_is_400(pipe):
+    """lcm with more steps than the coarse grid (and unknown sampler
+    names) must be a 400 validation response, not a 500 — the host-side
+    check_scheduler dry-build (core/validation.py)."""
+    from powerpaint_tpu.serve.app import make_server
+
+    server = make_server(pipe, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[16:48, 16:48] = 255
+        base = {
+            "image_b64": _png_b64(img),
+            "mask_b64": _png_b64(mask),
+            "prompt": "a dog",
+            "short_side": 64,
+        }
+        for extra in ({"scheduler": "lcm", "steps": 60},
+                      {"scheduler": "nope", "steps": 2}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inpaint",
+                data=json.dumps({**base, **extra}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 400, extra
+    finally:
+        server.shutdown()
