@@ -97,6 +97,46 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def fsdp_shardings(
+    mesh: Mesh,
+    tree,
+    axis: str = DATA_AXIS,
+    min_leaf_size: int = 2**14,
+):
+    """FSDP/ZeRO sharding tree: every large leaf split over ``axis``.
+
+    TPU-native fully-sharded data parallelism: params, optimizer moments
+    and EMA live sharded over the data axis (each chip stores 1/N), and
+    GSPMD inserts the all-gather before use in the forward/backward and
+    the reduce-scatter on the gradients — the ZeRO-3 recipe expressed as
+    shardings instead of hand-written collectives (scaling-book recipe;
+    the reference is single-GPU and has no analog).
+
+    Each leaf's LARGEST mesh-divisible dimension is split (ties go to the
+    trailing dim, which is the conv O / dense out features axis in this
+    codebase's HWIO/[in,out] layouts); leaves smaller than
+    ``min_leaf_size`` elements (norm scales, biases) stay replicated —
+    gathering them would cost more latency than the memory saved.
+    """
+    n = mesh.shape[axis]
+
+    def assign(leaf):
+        shape = tuple(np.shape(leaf))
+        if int(np.prod(shape, dtype=np.int64)) < min_leaf_size:
+            return NamedSharding(mesh, P())
+        best = None
+        for d, size in enumerate(shape):
+            if size % n == 0 and (best is None or size >= shape[best]):
+                best = d
+        if best is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(assign, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (CFG-doubled) batch axis over DATA."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: 1e-5 (v1/v2), 5e-4 (task_tokens), "
                         "1e-4 (lora)")
     p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--accumulate", type=int, default=1,
+                   help="gradient accumulation: average N micro-batch "
+                        "gradients per optimizer update (effective batch "
+                        "= batch_size * N)")
     p.add_argument("--snr_gamma", type=float, default=None,
                    help="min-SNR loss weighting (5.0 is the common value)")
     p.add_argument("--lora_rank", type=int, default=8)
@@ -60,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_every", type=int, default=250)
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel over N devices (0 = single device)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --mesh: fully shard params/optimizer/EMA "
+                        "over the data axis (ZeRO-3) instead of "
+                        "replicating — ~1/N state bytes per chip")
     p.add_argument("--tiny", action="store_true",
                    help="tiny config smoke run (CPU-friendly)")
     p.add_argument("--weight_dtype", default="float32",
@@ -169,13 +177,15 @@ def main(argv=None) -> int:
             loss_fn = mk(cfg, params, dtype=dtype)
         else:
             loss_fn = make_lora_loss(base_loss, params)
-        tx = make_optimizer(lr, weight_decay=args.weight_decay)
+        tx = make_optimizer(lr, weight_decay=args.weight_decay,
+                            accumulate_steps=args.accumulate)
         state = init_train_state(lora, tx, ema=args.ema is not None)
     else:
         labels = trainable_mask(params, args.mode)
         loss_fn = base_loss
         tx = make_optimizer(lr, weight_decay=args.weight_decay,
-                            labels=labels)
+                            labels=labels,
+                            accumulate_steps=args.accumulate)
         state = init_train_state(params, tx, ema=args.ema is not None)
 
     os.makedirs(args.out, exist_ok=True)
@@ -185,13 +195,20 @@ def main(argv=None) -> int:
         print(f"resumed from {ckpt} at step {int(state.step)}")
 
     mesh = None
+    state_shardings = None
     if args.mesh:
         from powerpaint_tpu.parallel.mesh import build_mesh
 
         mesh = build_mesh(jax.devices()[: args.mesh], model_parallel=1)
-        state = replicate_state(mesh, state)
+        if args.fsdp:
+            from powerpaint_tpu.train.step import fsdp_state
 
-    step_fn = make_train_step(loss_fn, tx, ema_decay=args.ema)
+            state, state_shardings = fsdp_state(mesh, state)
+        else:
+            state = replicate_state(mesh, state)
+
+    step_fn = make_train_step(loss_fn, tx, ema_decay=args.ema,
+                              state_shardings=state_shardings)
 
     metrics_path = os.path.join(args.out, "metrics.jsonl")
 

@@ -67,15 +67,26 @@ def make_optimizer(
     clip_norm: Optional[float] = 1.0,
     labels=None,
     schedule: Optional[Callable] = None,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW (+clip, +freeze labels, +gradient accumulation).
+
+    ``accumulate_steps=N`` averages gradients over N micro-batches before
+    applying one optimizer update (optax.MultiSteps) — the large-effective-
+    batch recipe when the per-chip batch is memory-bound.  The clip/Adam
+    see the ACCUMULATED gradient, so N micro-steps on the same data equal
+    one step on the N-fold batch.
+    """
     lr = schedule if schedule is not None else learning_rate
     inner = optax.adamw(lr, weight_decay=weight_decay)
     if clip_norm:
         inner = optax.chain(optax.clip_by_global_norm(clip_norm), inner)
     if labels is not None:
-        return optax.multi_transform(
+        inner = optax.multi_transform(
             {"train": inner, "freeze": optax.set_to_zero()}, labels
         )
+    if accumulate_steps > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accumulate_steps)
     return inner
 
 
@@ -96,10 +107,17 @@ def make_train_step(
     *,
     ema_decay: Optional[float] = None,
     donate: bool = True,
+    state_shardings=None,
 ) -> Callable:
     """(state, batch, rng) -> (state', metrics), jitted.  Works on one
     device or any mesh — parallelism comes from the ARGUMENT shardings
-    (see shard_batch/replicate_state)."""
+    (see shard_batch/replicate_state/fsdp_state).
+
+    ``state_shardings`` (a sharding pytree matching TrainState, e.g. from
+    parallel/mesh.fsdp_shardings) pins the OUTPUT state's layout: without
+    it GSPMD may resolve the updated params to replicated (undoing FSDP's
+    memory saving on every step); with it the update is computed where the
+    storage lives and the reduce-scatter/all-gather pattern stays ZeRO."""
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -114,7 +132,10 @@ def make_train_step(
                                ema, params)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(state.step + 1, params, opt_state, ema), metrics
+        out = TrainState(state.step + 1, params, opt_state, ema)
+        if state_shardings is not None:
+            out = jax.lax.with_sharding_constraint(out, state_shardings)
+        return out, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -156,3 +177,22 @@ def replicate_state(mesh, state: TrainState,
         opt_state=put_repl(state.opt_state),
         ema=None if state.ema is None else put_repl(state.ema),
     )
+
+
+def fsdp_state(mesh, state: TrainState):
+    """Place a train state FULLY SHARDED (ZeRO-3): params, optimizer
+    moments and EMA each split over the mesh's data axis, ~1/N of the
+    state bytes per chip.
+
+    Returns ``(placed_state, shardings)``; pass the shardings to
+    ``make_train_step(..., state_shardings=...)`` so the updated state
+    keeps this layout step over step (donation then reuses the buffers).
+    Batches still go through ``shard_batch`` — FSDP composes with the
+    same data-axis batch split as plain DP, and the update trajectory is
+    bit-comparable to the replicated one (GSPMD only moves WHERE tensors
+    live, not the math; see tests/test_train.py).
+    """
+    from powerpaint_tpu.parallel.mesh import fsdp_shardings
+
+    shardings = fsdp_shardings(mesh, state)
+    return jax.device_put(state, shardings), shardings

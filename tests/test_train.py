@@ -238,6 +238,66 @@ def test_sharded_train_step_matches_single_device(v1_setup):
     assert frac_tight >= 0.99, frac_tight
 
 
+def test_fsdp_train_step_matches_replicated(v1_setup):
+    """ZeRO/FSDP placement: params + moments sharded over the data axis,
+    same update as the replicated run, and the output state KEEPS the
+    sharded layout (the with_sharding_constraint in make_train_step)."""
+    from powerpaint_tpu.parallel.mesh import DATA_AXIS, build_mesh
+    from powerpaint_tpu.train.step import (
+        fsdp_state,
+        replicate_state,
+        shard_batch,
+    )
+
+    cfg, params, tok, _ = v1_setup
+    loss_fn = make_v1_loss(cfg, dtype=jnp.float32)
+    labels = trainable_mask(params, "v1")
+    tx = make_optimizer(1e-3, labels=labels)
+
+    data = batches(SyntheticSource(hw=32, seed=31), _tok(), batch_size=2,
+                   version="ppt-v1", seed=32)
+    batch = next(data)
+    batch = {k: np.concatenate([v] * 4, axis=0) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(11)
+
+    mesh = build_mesh(jax.devices()[:8], model_parallel=1)
+    sharded_batch = shard_batch(mesh, batch)
+
+    step_repl = make_train_step(loss_fn, tx, donate=False)
+    s_repl, m_repl = step_repl(
+        replicate_state(mesh, init_train_state(params, tx)), sharded_batch,
+        rng)
+
+    placed, shardings = fsdp_state(mesh, init_train_state(params, tx))
+    # big leaves are actually split over "data" (1/8 per chip), small ones
+    # replicated
+    big = placed.params["unet"]["mid_block"]["resnets_0"]["conv1"]["kernel"]
+    assert DATA_AXIS in tuple(big.sharding.spec), big.sharding
+    shard_bytes = big.addressable_shards[0].data.nbytes
+    assert shard_bytes * 8 == big.nbytes
+    step_fsdp = make_train_step(loss_fn, tx, donate=False,
+                                state_shardings=shardings)
+    s_fsdp, m_fsdp = step_fsdp(placed, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(m_repl["loss"]), float(m_fsdp["loss"]),
+                               rtol=1e-5)
+    # output state kept the FSDP layout (no silent re-replication)
+    out_big = s_fsdp.params["unet"]["mid_block"]["resnets_0"]["conv1"][
+        "kernel"]
+    assert out_big.sharding == big.sharding
+    # same update as replicated DP (same math, different placement); Adam
+    # near-zero-gradient elements get the usual 2*lr reassociation bound
+    a = np.asarray(s_repl.params["text_encoder"]["external_embedding"])
+    b = np.asarray(s_fsdp.params["text_encoder"]["external_embedding"])
+    d = np.abs(a - b)
+    assert d.max() <= 2.1e-3, d.max()
+    assert np.mean(d <= 1e-5 + 1e-3 * np.abs(b)) >= 0.99
+    # moments sharded too: find one adam mu leaf bigger than the threshold
+    mus = [x for x in jax.tree_util.tree_leaves(s_fsdp.opt_state)
+           if hasattr(x, "sharding") and x.size >= 2**14]
+    assert mus and any(DATA_AXIS in tuple(x.sharding.spec) for x in mus)
+
+
 def test_trainer_checkpoint_exact_resume(v1_setup, tmp_path):
     from powerpaint_tpu.train.trainer import (
         Trainer,
@@ -285,6 +345,51 @@ def test_trainer_checkpoint_exact_resume(v1_setup, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         t1.state.opt_state, again.opt_state)
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """accumulate_steps=2 over micro-batches A,B == one update on the
+    concatenated batch: MultiSteps averages the micro-gradients, and for a
+    mean loss over equal-size halves that IS the big-batch gradient, so
+    Adam produces the identical parameter update (exact, deterministic
+    loss — no rng in the gradient path)."""
+    from powerpaint_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    def loss_fn(params, batch, rng):
+        pred = batch["x"] @ params["w"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {"loss": loss}
+
+    rng = np.random.RandomState(0)
+    w0 = {"w": jnp.asarray(rng.randn(4, 3), jnp.float32)}
+    mk = lambda n, seed: {
+        "x": np.random.RandomState(seed).randn(n, 4).astype(np.float32),
+        "y": np.random.RandomState(seed + 1).randn(n, 3).astype(np.float32),
+    }
+    a, b = mk(2, 10), mk(2, 20)
+    big = {k: np.concatenate([a[k], b[k]]) for k in a}
+
+    tx1 = make_optimizer(1e-2, weight_decay=0.0, clip_norm=None)
+    s1 = init_train_state(w0, tx1)
+    step1 = make_train_step(loss_fn, tx1, donate=False)
+    s1, _ = step1(s1, big, jax.random.PRNGKey(0))
+
+    tx2 = make_optimizer(1e-2, weight_decay=0.0, clip_norm=None,
+                         accumulate_steps=2)
+    s2 = init_train_state(w0, tx2)
+    step2 = make_train_step(loss_fn, tx2, donate=False)
+    s2, _ = step2(s2, a, jax.random.PRNGKey(0))
+    # first micro-step: gradients buffered, params UNCHANGED
+    np.testing.assert_array_equal(np.asarray(s2.params["w"]),
+                                  np.asarray(w0["w"]))
+    s2, _ = step2(s2, b, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                               np.asarray(s1.params["w"]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_prefetch_preserves_stream_and_propagates_errors():
