@@ -176,10 +176,25 @@ def main() -> None:
             run_b(20, seed=i)
             ts.append(time.time() - t0)
         tb = min(ts)
+        # pipelined batched serving: K batched dispatches back to back —
+        # the production configuration (micro-batcher + async dispatch);
+        # exact math, the batch and the overlap are both stated.
+        Kb = 4
+        t0 = time.time()
+        pend = [
+            pipe.submit(image, mask, prompt="a red sports car",
+                        seed=200 + i, num_inference_steps=20,
+                        num_images_per_prompt=bsz, **extra_kw)
+            for i in range(Kb)
+        ]
+        for p in pend:
+            p.result()
+        sustained_b = (Kb * bsz) / (time.time() - t0)
         batched = {
             "batched_imgs_per_sec": round(bsz / tb, 4),
             "batch_size": bsz,
             "t_total_batched_s": round(tb, 4),
+            "batched_sustained_imgs_per_sec": round(sustained_b, 4),
         }
 
     # secondary pipeline numbers in `extra` (v2 when benching v1): only
@@ -288,9 +303,19 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
         run(seed=i)
         ts.append(time.time() - t0)
     t = min(ts)
+    t0 = time.time()
+    pend = [
+        pipe.submit(image, mask, prompt="a red sports car", seed=50 + i,
+                    num_inference_steps=20)
+        for i in range(4)
+    ]
+    for p in pend:
+        p.result()
+    sustained = 4 / (time.time() - t0)
     return {
         f"{which}_imgs_per_sec": round(1.0 / t, 4),
         f"{which}_t_total_20step_s": round(t, 4),
+        f"{which}_sustained_imgs_per_sec": round(sustained, 4),
         f"{which}_aot_warm": warm,
     }
 
