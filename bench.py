@@ -169,7 +169,23 @@ def main() -> None:
                         num_inference_steps=steps,
                         num_images_per_prompt=bsz, **extra_kw)
 
-        run_b(20)  # compile
+        aot_b = os.path.join(
+            aot_dir,
+            f"ppt_{which}_512_b{bsz}{'_im2col' if im2col else ''}.aot",
+        )
+        b_loaded = False
+        if platform == "tpu" and os.path.exists(aot_b):
+            try:
+                pipe.aot_load(aot_b)
+                b_loaded = True
+            except Exception:
+                pass
+        run_b(20)  # compile (or AOT-warm)
+        if platform == "tpu" and not b_loaded:
+            try:
+                pipe.aot_dump(aot_b)
+            except Exception:
+                pass
         ts = []
         for i in range(3):
             t0 = time.time()
