@@ -180,7 +180,21 @@ def main() -> None:
                 b_loaded = True
             except Exception:
                 pass
-        run_b(20)  # compile (or AOT-warm)
+        # compile (or AOT-warm); a stale/broken serialized executable is
+        # discarded and recompiled, mirroring the batch-1 recovery above
+        try:
+            run_b(20)
+        except Exception:
+            if not b_loaded:
+                raise
+            for d in pipe._aot_dispatchers():
+                d._entries.clear()
+            try:
+                os.remove(aot_b)
+            except OSError:
+                pass
+            b_loaded = False
+            run_b(20)
         if platform == "tpu" and not b_loaded:
             try:
                 pipe.aot_dump(aot_b)
@@ -194,8 +208,10 @@ def main() -> None:
         tb = min(ts)
         # pipelined batched serving: K batched dispatches back to back —
         # the production configuration (micro-batcher + async dispatch);
-        # exact math, the batch and the overlap are both stated.
-        Kb = 4
+        # exact math, the batch and the overlap are both stated.  K=6
+        # matches the batch-1 sustained protocol so the un-overlapped
+        # first dispatch + final drain are a small fraction of the window.
+        Kb = 6
         t0 = time.time()
         pend = [
             pipe.submit(image, mask, prompt="a red sports car",
@@ -227,6 +243,47 @@ def main() -> None:
             other.update(_bench_other(other_which, other_aot, image, mask))
         except Exception:
             pass
+
+    # v2 EXACT batched serving (the BASELINE metric is img/s/CHIP — batch
+    # is a legitimate throughput lever): bench every warm batched v2
+    # executable, sequential AND pipelined, and surface the best exact
+    # number.  AOT-gated like `other` so the default run never compiles.
+    if platform == "tpu":
+        import glob as _glob
+
+        v2_rows = {}
+        best = (0.0, None)
+        if "v2_imgs_per_sec" in other:
+            best = (other["v2_imgs_per_sec"], "b1")
+        if "v2_sustained_imgs_per_sec" in other:
+            s = other["v2_sustained_imgs_per_sec"]
+            if s > best[0]:
+                best = (s, "b1_pipelined")
+        for p in sorted(_glob.glob(
+                os.path.join(aot_dir, "ppt_v2_512_b*.aot"))):
+            name = os.path.basename(p)
+            try:
+                b = int(name.split("_b")[-1].split(".")[0].split("_")[0])
+            except ValueError:
+                continue
+            if b <= 1:
+                continue
+            try:
+                row = _bench_v2_batch(b, p, image, mask)
+            except Exception:
+                continue
+            v2_rows.update(row)
+            seq = row.get(f"v2_b{b}_imgs_per_sec", 0.0)
+            pl = row.get(f"v2_b{b}_pipelined_imgs_per_sec", 0.0)
+            if seq > best[0]:
+                best = (seq, f"b{b}")
+            if pl > best[0]:
+                best = (pl, f"b{b}_pipelined")
+        if v2_rows:
+            other.update(v2_rows)
+        if best[1] is not None:
+            other["v2_best_exact_imgs_per_sec"] = round(best[0], 4)
+            other["v2_best_exact_config"] = best[1]
 
     # few-step LCM mode (v2 + lcm sampler, 4 steps, embedded guidance) —
     # the LCM-LoRA serving configuration; AOT-gated like `other`
@@ -333,6 +390,61 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
         f"{which}_t_total_20step_s": round(t, 4),
         f"{which}_sustained_imgs_per_sec": round(sustained, 4),
         f"{which}_aot_warm": warm,
+    }
+
+
+def _bench_v2_batch(bsz: int, aot_path: str, image, mask) -> dict:
+    """v2 exact at batch ``bsz``: sequential (min of 3) and pipelined
+    (6 back-to-back submits) img/s/chip.  Requires a warm AOT executable —
+    callers gate on its existence so the driver's run never compiles."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.core.config import ppt_v2_config
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = ppt_v2_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
+                         dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tok = TokenizerWrapper(HashTokenizer())
+    add_task_tokens(tok)
+    pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    pipe.aot_load(aot_path)
+
+    def run(seed=0):
+        return pipe(image, mask, prompt="a red sports car", seed=seed,
+                    num_inference_steps=20, num_images_per_prompt=bsz)
+
+    run()  # AOT-warm execute (raises if the executable is stale)
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(seed=i)
+        ts.append(time.time() - t0)
+    t = min(ts)
+    K = 6
+    t0 = time.time()
+    pend = [
+        pipe.submit(image, mask, prompt="a red sports car", seed=300 + i,
+                    num_inference_steps=20, num_images_per_prompt=bsz)
+        for i in range(K)
+    ]
+    for p in pend:
+        p.result()
+    sustained = (K * bsz) / (time.time() - t0)
+    return {
+        f"v2_b{bsz}_imgs_per_sec": round(bsz / t, 4),
+        f"v2_b{bsz}_t_total_s": round(t, 4),
+        f"v2_b{bsz}_pipelined_imgs_per_sec": round(sustained, 4),
     }
 
 

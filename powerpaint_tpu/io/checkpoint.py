@@ -147,7 +147,33 @@ def load_ppt_v1(
         base_dir, config.text_encoder.vocab_size,
         config.text_encoder.num_external_tokens,
     )
+    # ppt-v1 runs the safety checker by DEFAULT (reference
+    # pipeline_PowerPaint.py:520-533; v2 loads with safety_checker=None,
+    # app.py:163): auto-register when converted weights ship in the
+    # checkpoint tree.  Weightless containers stay unregistered (PARITY.md).
+    _maybe_register_safety(root, base_dir)
     return InpaintPipeline(config, params, tokenizer, dtype=dtype)
+
+
+def _maybe_register_safety(*roots: Optional[str]) -> None:
+    """Register the CLIP safety checker if a ``safety_checker/`` dir with
+    weights exists under any of ``roots`` and no checker is registered yet
+    (the v1 default-ON semantics)."""
+    from powerpaint_tpu.core import safety
+
+    if safety.get_safety_checker() is not None:
+        return
+    for r in roots:
+        if not r:
+            continue
+        d = os.path.join(r, "safety_checker")
+        if os.path.isdir(d) and _find_weights(
+            os.path.join(d, "*.safetensors"),
+            os.path.join(d, "*.bin"),
+            os.path.join(d, "*.pth"),
+        ):
+            safety.register_safety_checker(load_safety_checker(d))
+            return
 
 
 def load_single_file(

@@ -1,0 +1,179 @@
+"""Pallas implicit-GEMM 3x3 conv with optional fused GN+SiLU prologue.
+
+Round-3 verdict "do this" #2: the ~73 TF/s XLA conv ceiling at the SD1.5
+64x64x320 level (37% of v5e's 197 TF/s bf16 peak) was asserted to be
+structural; at that shape the arithmetic intensity is ~1200 FLOP/byte vs
+the v5e ridge of ~240, i.e. the level is massively COMPUTE-bound and any
+ceiling must come from MXU scheduling, not HBM.  This kernel tests that
+claim with a hand implicit-GEMM formulation:
+
+  grid (B, H/TH, Cout/TN); per cell the padded input slab
+  x[b, i*TH : i*TH+TH+2, :, :] is DMA'd HBM->VMEM once and the 3x3 conv
+  runs as 9 MXU dots (TH*W, Cin) @ (Cin, TN) accumulating in f32 VMEM —
+  one pass over HBM for x and out, weights resident in VMEM.
+
+The fused variant applies GroupNorm normalize + SiLU to the slab INSIDE
+the kernel (stats are a cheap global reduction computed by XLA first).
+In the reference resnet chain norm->silu->conv (reference
+powerpaint/models/unet_2d_blocks.py resnet forward; ours
+models/resnet.py) XLA materializes the normalized activation to HBM
+because elementwise producers cannot fuse into the conv custom call; the
+prologue rides the conv's VMEM slab residency instead, eliminating that
+round trip.  (This is the fused-CONV experiment the round-3 verdict
+distinguished from the standalone fused-norm kernels that regressed.)
+
+Static shapes, NHWC, stride 1, SAME padding:
+    conv3x3(x, w)                                   -> (B, H, W, Cout)
+    conv3x3_gn_silu(x, w, gamma, beta, groups)      -> (B, H, W, Cout)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tiles(b, h, w, cin, cout, vmem_budget=10 * 1024 * 1024):
+    """Choose (TH, TN): slab rows per grid cell and output channels.
+
+    Keep slab + weights + acc + out-block inside the VMEM budget while
+    making the GEMM M = TH*W large (the MXU wants M >= 512)."""
+    tn = cout
+    while tn > 128 and 9 * cin * tn * 2 > vmem_budget // 3:
+        tn //= 2
+    th = h
+    while th > 4:
+        use = ((th + 2) * (w + 2) * cin * 2     # slab (bf16)
+               + th * w * tn * 4                # f32 accumulator
+               + 9 * cin * tn * 2               # weights
+               + th * w * tn * 2)               # out block
+        if use <= vmem_budget:
+            break
+        th //= 2
+    return th, tn
+
+
+def _taps(slab, w_ref, th, tw, cin, tn):
+    acc = jnp.zeros((th * tw, tn), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = slab[dy:dy + th, dx:dx + tw, :].reshape(th * tw, cin)
+            acc = acc + jnp.dot(xs, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    return acc
+
+
+def _plain_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, th, tw, cin, tn):
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(i * th, th + 2)], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    acc = _taps(x_vmem[:], w_ref, th, tw, cin, tn)
+    out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
+
+
+def _fused_kernel(x_hbm, w_ref, mean_ref, rstd_ref, gamma_ref, beta_ref,
+                  out_ref, x_vmem, sem, *, th, tw, cin, tn, h):
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(i * th, th + 2)], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    # normalize + silu the slab in VMEM.  SAME padding is zero AFTER the
+    # norm chain, so the halo ring (padded coords outside [1, H]/[1, W])
+    # must be masked back to zero: silu(beta - mean*rstd*gamma) != 0.
+    x = x_vmem[:].astype(jnp.float32)
+    scale = rstd_ref[0] * gamma_ref[0]                 # (C,)
+    y = (x - mean_ref[0]) * scale + beta_ref[0]
+    y = y * jax.nn.sigmoid(y)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 2), 1)
+    rows = rows + i * th
+    interior = ((rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= tw))
+    slab = jnp.where(interior[..., None], y, 0.0).astype(x_vmem.dtype)
+    acc = _taps(slab, w_ref, th, tw, cin, tn)
+    out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
+
+
+def _conv_call(xp, w, b, h, wd, cin, cout, th, tn, gn_args=None):
+    grid = (b, h // th, cout // tn)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # padded x, sliced by DMA
+        pl.BlockSpec((3, 3, cin, tn), lambda bb, i, j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if gn_args is not None:
+        in_specs += [
+            pl.BlockSpec((1, cin), lambda bb, i, j: (bb, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        kernel = functools.partial(_fused_kernel, th=th, tw=wd, cin=cin,
+                                   tn=tn, h=h)
+    else:
+        kernel = functools.partial(_plain_kernel, th=th, tw=wd, cin=cin,
+                                   tn=tn)
+        gn_args = ()
+    flops = 2 * b * h * wd * 9 * cin * cout
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, wd, tn),
+                               lambda bb, i, j: (bb, i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), w.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wd + 2, cin), xp.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (b * h * wd * (cin + cout) + 9 * cin * cout),
+            transcendentals=b * h * wd * cin if gn_args else 0,
+        ),
+    )(xp, w, *gn_args)
+
+
+def conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Implicit-GEMM NHWC 3x3 stride-1 SAME conv.
+
+    x: (B, H, W, Cin); w: (3, 3, Cin, Cout)."""
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    th, tn = _pick_tiles(b, h, wd, cin, cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return _conv_call(xp, w, b, h, wd, cin, cout, th, tn)
+
+
+def gn_stats(x: jax.Array, groups: int, eps: float = 1e-5):
+    """Per-(batch, group) mean/rstd of NHWC x, broadcast to (B, C)."""
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3))                       # (B, G)
+    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - mean ** 2
+    rstd = jax.lax.rsqrt(var + eps)
+    reps = c // groups
+    return (jnp.repeat(mean, reps, axis=1), jnp.repeat(rstd, reps, axis=1))
+
+
+def conv3x3_gn_silu(x: jax.Array, w: jax.Array, gamma: jax.Array,
+                    beta: jax.Array, groups: int,
+                    eps: float = 1e-5) -> jax.Array:
+    """conv3x3(silu(groupnorm(x))) with normalize+silu fused into the
+    conv's slab load — one HBM pass over x instead of two."""
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    th, tn = _pick_tiles(b, h, wd, cin, cout)
+    mean, rstd = gn_stats(x, groups, eps)
+    gb = jnp.broadcast_to(gamma.astype(jnp.float32)[None], (b, cin))
+    bt = jnp.broadcast_to(beta.astype(jnp.float32)[None], (b, cin))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return _conv_call(xp, w, b, h, wd, cin, cout, th, tn,
+                      gn_args=(mean, rstd, gb, bt))

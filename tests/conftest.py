@@ -22,3 +22,21 @@ jax.config.update("jax_threefry_partitionable", True)
 # persistent compilation cache: repeat test runs skip XLA compiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/ppt_jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow", action="store_true", default=False,
+        help="run tests marked slow (production-dim composed oracles)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with --run-slow / RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

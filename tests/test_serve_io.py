@@ -147,25 +147,17 @@ def test_load_ppt_v1_detects_native_layout(tmp_path, pipe):
     np.testing.assert_array_equal(a, b)
 
 
-def test_load_ppt_v1_from_torch_layout(tmp_path):
-    """Full loader path: synthetic reference-layout checkpoint dir ->
-    InpaintPipeline with identical outputs to the source params."""
+def _write_v1_torch_layout(root, params):
+    """Write a synthetic reference-layout (torch-format) ppt-v1 checkpoint
+    tree under ``root`` from a flax param tree."""
     from safetensors.numpy import save_file
 
     from tests.test_convert import tree_to_torch_sd
-    from powerpaint_tpu.io.checkpoint import load_ppt_v1
 
-    cfg = tiny_v1_config()
-    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
-                         dtype=jnp.float32)
-
-    root = tmp_path / "ppt-v1"
     for sub in ("unet", "text_encoder", "vae"):
         os.makedirs(root / sub)
     save_file(tree_to_torch_sd(params["unet"]),
               str(root / "unet" / "model.safetensors"))
-    save_file(tree_to_torch_sd(params["vae"], clip=False) | {},
-              str(root / "vae" / "model.safetensors"))
     # vae quant convs at diffusers top level
     vae_sd = tree_to_torch_sd(params["vae"])
     fixed = {}
@@ -184,6 +176,19 @@ def test_load_ppt_v1_from_torch_layout(tmp_path):
         ] = ext[i * 10:(i + 1) * 10]
     save_file(clip_sd, str(root / "text_encoder" / "model.safetensors"))
 
+
+def test_load_ppt_v1_from_torch_layout(tmp_path):
+    """Full loader path: synthetic reference-layout checkpoint dir ->
+    InpaintPipeline with identical outputs to the source params."""
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1
+
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+
+    root = tmp_path / "ppt-v1"
+    _write_v1_torch_layout(root, params)
+
     loaded = load_ppt_v1(str(root), config=cfg, dtype=jnp.float32)
     # loaded pipeline must produce identical outputs to the source stack
     tok = TokenizerWrapper(HashTokenizer(vocab_size=1024))
@@ -196,6 +201,73 @@ def test_load_ppt_v1_from_torch_layout(tmp_path):
     a = src(img, mask, prompt="t", num_inference_steps=2, seed=1)
     b = loaded(img, mask, prompt="t", num_inference_steps=2, seed=1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_load_ppt_v1_auto_registers_safety_checker(tmp_path):
+    """ppt-v1 default-ON safety parity (reference runs the checker by
+    default, pipeline_PowerPaint.py:520-533): a ``safety_checker/`` dir
+    with converted weights in the checkpoint tree auto-registers the CLIP
+    checker; without it nothing registers (the v2 / weightless default,
+    app.py:163)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from safetensors.numpy import save_file
+
+    from powerpaint_tpu.core import safety
+    from powerpaint_tpu.io.checkpoint import load_ppt_v1
+
+    cfg = tiny_v1_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=8,
+                         dtype=jnp.float32)
+    root = tmp_path / "ppt-v1"
+    _write_v1_torch_layout(root, params)
+
+    safety.register_safety_checker(None)
+    try:
+        # no safety_checker/ dir -> stays unregistered
+        load_ppt_v1(str(root), config=cfg, dtype=jnp.float32)
+        assert safety.get_safety_checker() is None
+
+        # write a real (tiny) StableDiffusionSafetyChecker state dict:
+        # CLIP tower under the doubled vision_model. prefix + concept
+        # tables, as diffusers serializes it
+        torch.manual_seed(0)
+        hf = transformers.CLIPVisionModelWithProjection(
+            transformers.CLIPVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=32, patch_size=8,
+                projection_dim=16,
+            )
+        ).eval()
+        sd = {}
+        for k, v in hf.state_dict().items():
+            k2 = "vision_model." + k if k.startswith("vision_model.") else k
+            sd[k2] = v.numpy()
+        # nonzero concept rows (zero rows make the cosine NaN) with
+        # thresholds of -2: every image scores cos >= -1 > -2 -> flagged
+        cr = np.random.RandomState(1)
+        sd["concept_embeds"] = cr.randn(3, 16).astype(np.float32)
+        sd["concept_embeds_weights"] = np.full((3,), -2.0, np.float32)
+        sd["special_care_embeds"] = cr.randn(2, 16).astype(np.float32)
+        sd["special_care_embeds_weights"] = np.full((2,), 2.0, np.float32)
+        os.makedirs(root / "safety_checker")
+        save_file(sd, str(root / "safety_checker" / "model.safetensors"))
+
+        load_ppt_v1(str(root), config=cfg, dtype=jnp.float32)
+        checker = safety.get_safety_checker()
+        assert checker is not None
+        # thresholds of -2 flag everything -> the registered checker is live
+        imgs = (np.random.RandomState(0).rand(2, 40, 40, 3) * 255
+                ).astype(np.uint8)
+        out, flags = safety.apply_safety_checker(imgs)
+        assert flags == [True, True] and (out == 0).all()
+
+        # an already-registered checker is never clobbered
+        sentinel = checker
+        load_ppt_v1(str(root), config=cfg, dtype=jnp.float32)
+        assert safety.get_safety_checker() is sentinel
+    finally:
+        safety.register_safety_checker(None)
 
 
 def test_load_ppt_v1_missing_dir_raises(tmp_path):
