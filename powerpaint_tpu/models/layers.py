@@ -24,10 +24,14 @@ class GroupNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, silu: bool = False):
+    def __call__(self, x, *, silu: bool = False, params_only: bool = False):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         beta = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if params_only:
+            # declare params but defer the compute: the caller hands them
+            # to Conv2D's ``gn=`` prologue (fused-conv path)
+            return gamma, beta
         return group_norm(
             x, gamma, beta, num_groups=self.num_groups, eps=self.eps, silu=silu
         )
@@ -51,6 +55,34 @@ def _im2col_wanted() -> bool:
     return os.environ.get("POWERPAINT_CONV_IM2COL", "0") == "1"
 
 
+def _fused_conv_wanted() -> bool:
+    """Opt-in Pallas implicit-GEMM conv with the GroupNorm+SiLU producer
+    fused as an in-VMEM prologue (ops/conv_pallas.py).  Unlike the
+    rejected standalone fused-norm kernels (see ops/groupnorm.py), the
+    prologue rides the conv's slab residency, so there is no extra HBM
+    round trip to pay for."""
+    import os
+
+    return os.environ.get("POWERPAINT_FUSED_CONV", "0") == "1"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _igemm_profitable(h: int, w: int, cin: int) -> bool:
+    """Shape gate for the fused implicit-GEMM conv: only the UNet levels
+    where the kernel measured FASTER than the XLA gn+silu+conv chain on
+    v5e (scripts/results_igemm_conv.json — 64x64x320 and 16x16x1280 win
+    ~4%, 32x32x640 loses).  Also excludes the wide concat shapes
+    (cin 960/1920) whose f32 prologue temps exceed the 16 MB scoped-VMEM
+    stack (measured compile OOM at 32x32x1920->640)."""
+    return (h, w, cin) in {(64, 64, 320), (16, 16, 1280)}
+
+
 class Conv2D(nn.Module):
     """NHWC conv, drop-in for ``nn.Conv`` (same param names/shapes/init and
     bit-identical float compute).
@@ -70,7 +102,12 @@ class Conv2D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, gn=None):
+        """``gn=(gamma, beta, groups, eps)`` prepends GroupNorm+SiLU to the
+        conv.  With POWERPAINT_FUSED_CONV=1 on TPU the whole chain runs as
+        one Pallas implicit-GEMM kernel (normalize+SiLU applied to the
+        input slab in VMEM); otherwise it is the exact same two-op XLA
+        chain the resnet blocks always used."""
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -81,6 +118,27 @@ class Conv2D(nn.Module):
                        self.param_dtype)
             if self.use_bias else None
         )
+        fusable = (
+            (kh, kw) == (3, 3)
+            and self.strides == (1, 1)
+            and self.padding == ((1, 1), (1, 1))
+        )
+        if gn is not None:
+            gamma, beta, groups, eps = gn
+            if (fusable and _fused_conv_wanted() and _on_tpu()
+                    and _igemm_profitable(x.shape[1], x.shape[2],
+                                          x.shape[3])):
+                from powerpaint_tpu.ops.conv_pallas import conv3x3_gn_silu
+
+                return conv3x3_gn_silu(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    gamma, beta, groups, eps, bias=bias,
+                )
+            from powerpaint_tpu.ops.groupnorm import group_norm
+
+            x = group_norm(
+                x, gamma, beta, num_groups=groups, eps=eps, silu=True
+            )
         if (
             _im2col_wanted()
             and (kh, kw) == (3, 3)

@@ -27,26 +27,28 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_ch = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, self.param_dtype, name="norm1")(
-            x, silu=True
-        )
+        # Each GroupNorm+SiLU is handed to the conv as a ``gn`` prologue:
+        # plain XLA chain by default (identical ops to applying the norm
+        # here), one fused Pallas implicit-GEMM kernel under
+        # POWERPAINT_FUSED_CONV=1 (see models/layers.py::Conv2D).
+        g1, b1 = GroupNorm(self.groups, self.eps, self.param_dtype,
+                           name="norm1")(x, params_only=True)
         h = conv(
             self.out_channels, 3, 1, 1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1",
-        )(h)
+        )(x, gn=(g1, b1, self.groups, self.eps))
         if self.use_time_emb and temb is not None:
             t = dense(
                 self.out_channels, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="time_emb_proj",
             )(nn.silu(temb))
             h = h + t[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(self.groups, self.eps, self.param_dtype, name="norm2")(
-            h, silu=True
-        )
+        g2, b2 = GroupNorm(self.groups, self.eps, self.param_dtype,
+                           name="norm2")(h, params_only=True)
         h = conv(
             self.out_channels, 3, 1, 1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv2",
-        )(h)
+        )(h, gn=(g2, b2, self.groups, self.eps))
         if in_ch != self.out_channels:
             x = conv(
                 self.out_channels, 1, 1, 0, dtype=self.dtype,

@@ -37,17 +37,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _padded_w(wd):
+    """Padded slab width: W+2 rounded up to the 8-sublane tile."""
+    return ((wd + 2 + 7) // 8) * 8
+
+
+def _padded_c(c):
+    """Padded channel count: lane dim must be a 128 multiple for the
+    manual HBM slab DMA (zero K-rows cost nothing — Mosaic pads the MXU
+    contraction to the same 128 boundary internally)."""
+    return ((c + 127) // 128) * 128
+
+
 def _pick_tiles(b, h, w, cin, cout, vmem_budget=10 * 1024 * 1024):
     """Choose (TH, TN): slab rows per grid cell and output channels.
 
     Keep slab + weights + acc + out-block inside the VMEM budget while
     making the GEMM M = TH*W large (the MXU wants M >= 512)."""
+    wp = _padded_w(w)
+    cin = _padded_c(cin)
+    # TN must be the full cout or a 128-multiple divisor of it (Mosaic
+    # block-shape rule for the minor dim of the weight block).
     tn = cout
-    while tn > 128 and 9 * cin * tn * 2 > vmem_budget // 3:
-        tn //= 2
+    for cand in sorted({d for d in range(128, cout, 128)
+                        if cout % d == 0}, reverse=True):
+        if 9 * cin * tn * 2 <= vmem_budget // 3:
+            break
+        tn = cand
     th = h
     while th > 4:
-        use = ((th + 2) * (w + 2) * cin * 2     # slab (bf16)
+        use = ((th + 2) * wp * cin * 2          # slab (bf16)
                + th * w * tn * 4                # f32 accumulator
                + 9 * cin * tn * 2               # weights
                + th * w * tn * 2)               # out block
@@ -57,29 +76,39 @@ def _pick_tiles(b, h, w, cin, cout, vmem_budget=10 * 1024 * 1024):
     return th, tn
 
 
-def _taps(slab, w_ref, th, tw, cin, tn):
+def _taps(slab, w_ref, th, tw, cin, tn, bias_ref=None):
     acc = jnp.zeros((th * tw, tn), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             xs = slab[dy:dy + th, dx:dx + tw, :].reshape(th * tw, cin)
             acc = acc + jnp.dot(xs, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        acc = acc + bias_ref[0]
     return acc
 
 
-def _plain_kernel(x_hbm, w_ref, out_ref, x_vmem, sem, *, th, tw, cin, tn):
+def _plain_kernel(x_hbm, w_ref, *rest, th, tw, cin, tn, bias):
+    if bias:
+        bias_ref, out_ref, x_vmem, sem = rest
+    else:
+        (out_ref, x_vmem, sem), bias_ref = rest, None
     bb = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
         x_hbm.at[bb, pl.ds(i * th, th + 2)], x_vmem, sem)
     cp.start()
     cp.wait()
-    acc = _taps(x_vmem[:], w_ref, th, tw, cin, tn)
+    acc = _taps(x_vmem[:], w_ref, th, tw, cin, tn, bias_ref)
     out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
 
 
 def _fused_kernel(x_hbm, w_ref, mean_ref, rstd_ref, gamma_ref, beta_ref,
-                  out_ref, x_vmem, sem, *, th, tw, cin, tn, h):
+                  *rest, th, tw, cin, tn, h, bias):
+    if bias:
+        bias_ref, out_ref, x_vmem, sem = rest
+    else:
+        (out_ref, x_vmem, sem), bias_ref = rest, None
     bb = pl.program_id(0)
     i = pl.program_id(1)
     cp = pltpu.make_async_copy(
@@ -90,37 +119,48 @@ def _fused_kernel(x_hbm, w_ref, mean_ref, rstd_ref, gamma_ref, beta_ref,
     # norm chain, so the halo ring (padded coords outside [1, H]/[1, W])
     # must be masked back to zero: silu(beta - mean*rstd*gamma) != 0.
     x = x_vmem[:].astype(jnp.float32)
-    scale = rstd_ref[0] * gamma_ref[0]                 # (C,)
-    y = (x - mean_ref[0]) * scale + beta_ref[0]
+    scale = rstd_ref[0, 0] * gamma_ref[0, 0]           # (C,)
+    y = (x - mean_ref[0, 0]) * scale + beta_ref[0, 0]
     y = y * jax.nn.sigmoid(y)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 2), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 2), 1)
+    wp = _padded_w(tw)
+    # 3-D iotas: Mosaic can't minor-dim-reshape an i1 mask, so build the
+    # mask at broadcast rank directly.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
     rows = rows + i * th
     interior = ((rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= tw))
-    slab = jnp.where(interior[..., None], y, 0.0).astype(x_vmem.dtype)
-    acc = _taps(slab, w_ref, th, tw, cin, tn)
+    slab = jnp.where(interior, y, 0.0).astype(x_vmem.dtype)
+    acc = _taps(slab, w_ref, th, tw, cin, tn, bias_ref)
     out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
 
 
-def _conv_call(xp, w, b, h, wd, cin, cout, th, tn, gn_args=None):
+def _conv_call(xp, w, b, h, wd, cin, cout, th, tn, gn_args=None,
+               bias=None, interpret=False):
+    wp = _padded_w(wd)
     grid = (b, h // th, cout // tn)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # padded x, sliced by DMA
+        pl.BlockSpec(memory_space=pltpu.HBM),  # padded x, sliced by DMA
         pl.BlockSpec((3, 3, cin, tn), lambda bb, i, j: (0, 0, 0, j),
                      memory_space=pltpu.VMEM),
     ]
     if gn_args is not None:
         in_specs += [
-            pl.BlockSpec((1, cin), lambda bb, i, j: (bb, 0),
+            pl.BlockSpec((1, 1, cin), lambda bb, i, j: (bb, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ]
+        gn_args = tuple(a[:, None, :] for a in gn_args)
         kernel = functools.partial(_fused_kernel, th=th, tw=wd, cin=cin,
-                                   tn=tn, h=h)
+                                   tn=tn, h=h, bias=bias is not None)
     else:
         kernel = functools.partial(_plain_kernel, th=th, tw=wd, cin=cin,
-                                   tn=tn)
+                                   tn=tn, bias=bias is not None)
         gn_args = ()
+    extra = ()
+    if bias is not None:
+        in_specs += [pl.BlockSpec((1, tn), lambda bb, i, j: (0, j),
+                                  memory_space=pltpu.VMEM)]
+        extra = (bias.astype(jnp.float32)[None],)
     flops = 2 * b * h * wd * 9 * cin * cout
     return pl.pallas_call(
         kernel,
@@ -130,7 +170,7 @@ def _conv_call(xp, w, b, h, wd, cin, cout, th, tn, gn_args=None):
                                lambda bb, i, j: (bb, i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), w.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, wd + 2, cin), xp.dtype),
+            pltpu.VMEM((th + 2, wp, cin), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -138,18 +178,24 @@ def _conv_call(xp, w, b, h, wd, cin, cout, th, tn, gn_args=None):
             bytes_accessed=2 * (b * h * wd * (cin + cout) + 9 * cin * cout),
             transcendentals=b * h * wd * cin if gn_args else 0,
         ),
-    )(xp, w, *gn_args)
+        interpret=interpret,
+    )(xp, w, *gn_args, *extra)
 
 
-def conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
-    """Implicit-GEMM NHWC 3x3 stride-1 SAME conv.
+def conv3x3(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+            interpret: bool = False) -> jax.Array:
+    """Implicit-GEMM NHWC 3x3 stride-1 SAME conv (+ optional bias).
 
-    x: (B, H, W, Cin); w: (3, 3, Cin, Cout)."""
+    x: (B, H, W, Cin); w: (3, 3, Cin, Cout); bias: (Cout,)."""
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
     th, tn = _pick_tiles(b, h, wd, cin, cout)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return _conv_call(xp, w, b, h, wd, cin, cout, th, tn)
+    wp = _padded_w(wd)
+    cp_ = _padded_c(cin)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp_ - cin)))
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, cp_ - cin), (0, 0)))
+    return _conv_call(xp, w, b, h, wd, cp_, cout, th, tn, bias=bias,
+                      interpret=interpret)
 
 
 def gn_stats(x: jax.Array, groups: int, eps: float = 1e-5):
@@ -165,15 +211,26 @@ def gn_stats(x: jax.Array, groups: int, eps: float = 1e-5):
 
 def conv3x3_gn_silu(x: jax.Array, w: jax.Array, gamma: jax.Array,
                     beta: jax.Array, groups: int,
-                    eps: float = 1e-5) -> jax.Array:
-    """conv3x3(silu(groupnorm(x))) with normalize+silu fused into the
-    conv's slab load — one HBM pass over x instead of two."""
+                    eps: float = 1e-5, bias: jax.Array | None = None,
+                    interpret: bool = False) -> jax.Array:
+    """conv3x3(silu(groupnorm(x))) (+ optional conv bias) with
+    normalize+silu fused into the conv's slab load — one HBM pass over x
+    instead of two."""
     b, h, wd, cin = x.shape
     cout = w.shape[-1]
     th, tn = _pick_tiles(b, h, wd, cin, cout)
     mean, rstd = gn_stats(x, groups, eps)
     gb = jnp.broadcast_to(gamma.astype(jnp.float32)[None], (b, cin))
     bt = jnp.broadcast_to(beta.astype(jnp.float32)[None], (b, cin))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    return _conv_call(xp, w, b, h, wd, cin, cout, th, tn,
-                      gn_args=(mean, rstd, gb, bt))
+    wp = _padded_w(wd)
+    cp_ = _padded_c(cin)
+    pc = ((0, 0), (0, cp_ - cin))
+    # pad channels with mean=0, rstd=0, gamma=0, beta=0: the prologue
+    # maps pad lanes to silu(0) = 0, keeping them inert in the dot
+    mean, rstd = jnp.pad(mean, pc), jnp.pad(rstd, pc)
+    gb, bt = jnp.pad(gb, pc), jnp.pad(bt, pc)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp_ - cin)))
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, cp_ - cin), (0, 0)))
+    return _conv_call(xp, w, b, h, wd, cp_, cout, th, tn,
+                      gn_args=(mean, rstd, gb, bt), bias=bias,
+                      interpret=interpret)

@@ -67,7 +67,7 @@ def main() -> None:
         x = jax.random.normal(key, (b, h, w, cin), jnp.bfloat16)
         wt = (jax.random.normal(jax.random.PRNGKey(1),
                                 (3, 3, cin, cout), jnp.bfloat16) *
-              (1.0 / np.sqrt(9 * cin)))
+              jnp.bfloat16(1.0 / np.sqrt(9 * cin)))
         gamma = jnp.ones((cin,), jnp.float32) * 1.1
         beta = jnp.ones((cin,), jnp.float32) * 0.05
         groups = 32

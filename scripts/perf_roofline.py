@@ -164,11 +164,12 @@ def main() -> None:
 
     for sq, skv, heads, d, count in ATTN:
         b = 2
-        q = jax.random.normal(jax.random.PRNGKey(0), (b, heads, sq, d),
+        # repo attention layout: (B, S, heads, D)
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, sq, heads, d),
                               jnp.bfloat16)
-        k = jax.random.normal(jax.random.PRNGKey(1), (b, heads, skv, d),
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, skv, heads, d),
                               jnp.bfloat16)
-        v = jax.random.normal(jax.random.PRNGKey(2), (b, heads, skv, d),
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, skv, heads, d),
                               jnp.bfloat16)
 
         def step(q, k=k, v=v):
