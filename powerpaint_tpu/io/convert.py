@@ -740,3 +740,99 @@ def convert_bodypose(sd: Dict[str, np.ndarray]) -> dict:
             k = ".".join(parts[1:])
         flat[k] = v
     return state_dict_to_tree(flat)
+
+
+def convert_dpt(sd: Dict[str, np.ndarray],
+                deconv_resize_indices: Tuple[int, ...] = ()) -> dict:
+    """HF ``DPTForDepthEstimation`` hybrid state dict (Intel/dpt-hybrid-midas
+    layout, the checkpoint the reference loads at app.py:116) ->
+    models.dpt.DPTDepthModel tree.
+
+    ``deconv_resize_indices``: reassemble stages whose ``resize`` is a
+    ConvTranspose2d (factor > 1 — non-hybrid DPT-large layouts; hybrid-midas
+    has none).  Their torch weights are (I, O, kH, kW) and need the
+    transpose-conv axis order instead of the OIHW one.
+    """
+    remapped: Dict[str, np.ndarray] = {}
+    deconv_keys = set()
+    for k, v in sd.items():
+        if (k.startswith("dpt.layernorm") or k.startswith("dpt.pooler")
+                or k.endswith("num_batches_tracked")):
+            continue  # final LN/pooler are unused by the depth head
+        k2 = k
+        k2 = k2.replace("dpt.embeddings.backbone.bit.embedder.convolution.",
+                        "backbone.stem_conv.")
+        k2 = k2.replace("dpt.embeddings.backbone.bit.embedder.norm.",
+                        "backbone.stem_norm.")
+        m = re.match(
+            r"dpt\.embeddings\.backbone\.bit\.encoder\.stages\.(\d+)"
+            r"\.layers\.(\d+)\.(.*)", k2)
+        if m:
+            s, l, rest = m.groups()
+            rest = rest.replace("downsample.conv.", "downsample_conv.")
+            rest = rest.replace("downsample.norm.", "downsample_norm.")
+            k2 = f"backbone.stage{s}_unit{l}.{rest}"
+        k2 = k2.replace("dpt.embeddings.projection.", "vit.projection.")
+        k2 = k2.replace("dpt.embeddings.cls_token", "vit.cls_token")
+        k2 = k2.replace("dpt.embeddings.position_embeddings",
+                        "vit.position_embeddings")
+        k2 = k2.replace("dpt.encoder.layer.", "vit.layer.")
+        k2 = k2.replace(".attention.attention.", ".attention.")
+        k2 = k2.replace(".attention.output.dense.", ".attention_out.")
+        k2 = k2.replace(".intermediate.dense.", ".intermediate.")
+        k2 = k2.replace(".output.dense.", ".output.")
+        m = re.match(
+            r"neck\.reassemble_stage\.readout_projects\.(\d+)\.0\.(.*)", k2)
+        if m:
+            k2 = f"readout_project_{m.group(1)}.{m.group(2)}"
+        m = re.match(
+            r"neck\.reassemble_stage\.layers\.(\d+)\.projection\.(.*)", k2)
+        if m:
+            k2 = f"reassemble_projection_{m.group(1)}.{m.group(2)}"
+        m = re.match(
+            r"neck\.reassemble_stage\.layers\.(\d+)\.resize\.(.*)", k2)
+        if m:
+            k2 = f"reassemble_resize_{m.group(1)}.{m.group(2)}"
+            if int(m.group(1)) in deconv_resize_indices:
+                deconv_keys.add(k2)
+        k2 = k2.replace("neck.convs.", "neck_conv.")
+        k2 = k2.replace("neck.fusion_stage.layers.", "fusion.")
+        if k2.startswith("head.head."):
+            k2 = k2[len("head."):]
+        remapped[k2] = v
+
+    tree: dict = {}
+    for key, arr in remapped.items():
+        path = torch_key_to_flax_path(key)
+        if key in deconv_keys and arr.ndim == 4:
+            # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, I, O)
+            arr = np.transpose(arr, (2, 3, 0, 1))
+        else:
+            arr = convert_tensor(path, arr)
+        _insert(tree, path, arr)
+    return tree
+
+
+def dpt_config_from_hf(hf_config) -> "object":
+    """HF ``DPTConfig(is_hybrid=True)`` -> models.dpt.DPTConfig (shape
+    fields only)."""
+    from powerpaint_tpu.models.dpt import DPTConfig as _DPTCfg
+
+    bit = hf_config.backbone_config
+    return _DPTCfg(
+        embedding_size=bit.embedding_size,
+        bit_hidden_sizes=tuple(bit.hidden_sizes[:len(bit.depths)]),
+        bit_depths=tuple(bit.depths),
+        bit_num_groups=bit.num_groups,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        vit_out_layers=tuple(hf_config.backbone_out_indices[2:]),
+        neck_hidden_sizes=tuple(hf_config.neck_hidden_sizes),
+        reassemble_factors=tuple(hf_config.reassemble_factors),
+        fusion_hidden_size=hf_config.fusion_hidden_size,
+    )

@@ -1,10 +1,10 @@
 """Control-image preprocessors (canny / depth / HED / pose).
 
 Counterpart of the reference's preprocessor stack (app.py:116-123, 202-243,
-420-433): canny runs locally via cv2 (same 100/200 thresholds); HED and
-OpenPose run natively on device (Flax models in models/annotators.py, fed by
-the same published checkpoints the reference downloads); depth uses the
-host-side transformers DPT as the reference does.  All are gated behind
+420-433): canny runs locally via cv2 (same 100/200 thresholds); HED,
+OpenPose AND depth run natively on device (Flax models in
+models/annotators.py and models/dpt.py, fed by the same published
+checkpoints the reference downloads).  All are gated behind
 ``register_preprocessor`` (their weights are not bundled — the reference
 downloads them from the hub at startup), matching the reference's hot-swap
 design.
@@ -34,50 +34,111 @@ def canny(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
 register_preprocessor("canny", canny)
 
 
+def _cubic_weights(n_in: int, n_out: int, a: float = -0.75):
+    """Separable cubic-convolution resampling taps, torch
+    ``interpolate(mode='bicubic', align_corners=False)`` semantics:
+    half-pixel centers, Keys kernel with A=-0.75, border replication.
+    Returns (indices (n_out, 4) int, weights (n_out, 4) float32)."""
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+    i0 = np.floor(pos).astype(np.int64)
+    idx = np.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=1)
+    t = np.abs(pos[:, None] - idx)
+    w = np.where(
+        t <= 1.0,
+        (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0,
+        np.where(t < 2.0,
+                 a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a,
+                 0.0),
+    )
+    return np.clip(idx, 0, n_in - 1), w.astype(np.float32)
+
+
+def resize_bicubic(x, oh: int, ow: int):
+    """(B, H, W) jnp bicubic resize matching torch align_corners=False."""
+    import jax.numpy as jnp
+
+    b, h, w = x.shape
+    yi, yw = _cubic_weights(h, oh)
+    xi, xw = _cubic_weights(w, ow)
+    rows = jnp.take(x, jnp.asarray(yi.ravel()), axis=1)
+    rows = rows.reshape(b, oh, 4, w) * jnp.asarray(yw)[None, :, :, None]
+    rows = rows.sum(axis=2)                                   # (B, oh, W)
+    cols = jnp.take(rows, jnp.asarray(xi.ravel()), axis=2)
+    cols = cols.reshape(b, oh, ow, 4) * jnp.asarray(xw)[None, None]
+    return cols.sum(axis=3)
+
+
 class DPTDepthPreprocessor:
     """DPT monocular depth control map (reference get_depth_map,
     app.py:116-123, 202-221): DPT forward -> bicubic upsample -> per-image
     min/max normalize -> 3-channel uint8.
 
-    Runs the host-side torch DPT from transformers (the reference does the
-    same; this is request-time preprocessing, not the TPU compute path).
-    Pass a local checkpoint path for real weights ("Intel/dpt-hybrid-midas"
-    layout) or ``model``/``processor`` instances directly (tests use a tiny
-    random-init DPT).
+    Runs the NATIVE Flax DPT-hybrid (models/dpt.py) on device — the torch
+    ``DPTForDepthEstimation`` the reference uses stays host-side; this port
+    removes the last torch compute from the serving path.  Pass a local
+    checkpoint dir ("Intel/dpt-hybrid-midas" layout: config.json +
+    weights) for real weights, or ``params``/``config`` directly (tests
+    use a tiny random-init stack converted through io/convert.convert_dpt).
     """
 
-    def __init__(self, checkpoint: str = "Intel/dpt-hybrid-midas",
-                 model=None, processor=None, output_size=(1024, 1024)):
-        import transformers
+    def __init__(self, checkpoint: str | None = None, params=None,
+                 config=None, output_size=(1024, 1024), dtype=None):
+        import jax
+        import jax.numpy as jnp
 
-        if model is None:
-            model = transformers.DPTForDepthEstimation.from_pretrained(
-                checkpoint, local_files_only=True
+        from powerpaint_tpu.models.dpt import DPTDepthModel
+
+        if params is None:
+            if checkpoint is None:
+                raise ValueError("need params or checkpoint")
+            import glob
+            import os
+
+            import transformers
+
+            from powerpaint_tpu.io.convert import (
+                convert_dpt,
+                dpt_config_from_hf,
+                load_state_dict,
             )
-        if processor is None:
-            processor = transformers.DPTImageProcessor.from_pretrained(
-                checkpoint, local_files_only=True
-            )
-        self.model = model.eval()
-        self.processor = processor
+
+            hf_cfg = transformers.DPTConfig.from_pretrained(
+                checkpoint, local_files_only=True)
+            config = dpt_config_from_hf(hf_cfg)
+            files = (glob.glob(os.path.join(checkpoint, "*.safetensors"))
+                     or glob.glob(os.path.join(checkpoint, "*.bin")))
+            if not files:
+                raise FileNotFoundError(f"no weights under {checkpoint}")
+            params = convert_dpt(load_state_dict(files[0]))
+        if config is None:
+            raise ValueError("need config with params")
+        self.config = config
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.model = DPTDepthModel(config, dtype or jnp.float32)
         self.output_size = output_size
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
-        import torch
+        def run(p, x):
+            depth = self.model.apply({"params": p}, x)
+            up = resize_bicubic(depth, *output_size)
+            dmin = jnp.min(up, axis=(1, 2), keepdims=True)
+            dmax = jnp.max(up, axis=(1, 2), keepdims=True)
+            return (up - dmin) / jnp.maximum(dmax - dmin, 1e-8)
 
-        inputs = self.processor(images=image, return_tensors="pt")
-        with torch.no_grad():
-            depth = self.model(
-                pixel_values=inputs["pixel_values"]
-            ).predicted_depth
-        depth = torch.nn.functional.interpolate(
-            depth.unsqueeze(1), size=self.output_size, mode="bicubic",
-            align_corners=False,
-        )
-        dmin = depth.amin(dim=[1, 2, 3], keepdim=True)
-        dmax = depth.amax(dim=[1, 2, 3], keepdim=True)
-        depth = (depth - dmin) / torch.clamp(dmax - dmin, min=1e-8)
-        out = depth[0, 0].cpu().numpy()
+        self._run = jax.jit(run)
+
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
+        """uint8 RGB -> (1, S, S, 3) float32, the DPTImageProcessor
+        transform (bicubic resize to the model's square input, rescale
+        1/255, normalize mean/std 0.5)."""
+        from PIL import Image
+
+        s = self.config.image_size
+        pil = Image.fromarray(image).resize((s, s), Image.BICUBIC)
+        x = np.asarray(pil, np.float32) / 255.0
+        return ((x - 0.5) / 0.5)[None]
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        out = np.asarray(self._run(self.params, self._preprocess(image))[0])
         out = (out * 255.0).clip(0, 255).astype(np.uint8)
         return np.stack([out] * 3, axis=-1)
 

@@ -184,31 +184,29 @@ def test_multi_controlnet_two_branches(inputs):
 
 
 def test_dpt_depth_preprocessor_tiny():
-    """DPT depth preprocessor semantics on a tiny random-init DPT
-    (reference get_depth_map, app.py:202-221): normalized [0,255] uint8,
-    3 identical channels, requested output size."""
+    """DPT depth preprocessor semantics on a tiny random-init hybrid DPT
+    (reference get_depth_map, app.py:202-221), through the NATIVE Flax
+    model (models/dpt.py): normalized [0,255] uint8, 3 identical
+    channels, requested output size.  Architecture/converter parity vs
+    torch is pinned separately in tests/test_dpt_oracle.py."""
     transformers = pytest.importorskip("transformers")
-    import torch
+    torch = pytest.importorskip("torch")
 
-    torch.manual_seed(0)
-    tiny = transformers.DPTConfig(
-        hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
-        intermediate_size=64, image_size=64, patch_size=16,
-        neck_hidden_sizes=[16, 16, 32, 32], fusion_hidden_size=16,
-        backbone_out_indices=[0, 1, 2, 3], is_hybrid=False,
-    )
-    model = transformers.DPTForDepthEstimation(tiny)
-    processor = transformers.DPTImageProcessor(
-        size={"height": 64, "width": 64}
-    )
+    from test_dpt_oracle import _randomize, _tiny_hybrid_config
+
+    from powerpaint_tpu.io.convert import convert_dpt, dpt_config_from_hf
     from powerpaint_tpu.tasks.control import (
         DPTDepthPreprocessor,
         get_control_image,
         register_preprocessor,
     )
 
-    pre = DPTDepthPreprocessor(model=model, processor=processor,
-                               output_size=(48, 48))
+    hf_cfg = _tiny_hybrid_config()
+    model = _randomize(transformers.DPTForDepthEstimation(hf_cfg).eval())
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    pre = DPTDepthPreprocessor(
+        params=convert_dpt(sd), config=dpt_config_from_hf(hf_cfg),
+        output_size=(48, 48))
     img = (np.random.RandomState(0).rand(48, 48, 3) * 255).astype(np.uint8)
     depth = pre(img)
     assert depth.shape == (48, 48, 3)
