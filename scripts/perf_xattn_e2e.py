@@ -87,12 +87,23 @@ def xattn_bf16sm(q, k, v, **kw):
     return BASELINE_ATTENTION(q, k, v, **kw)
 
 
+def xattn_flash(q, k, v, **kw):
+    if k.shape[1] != q.shape[1]:
+        from powerpaint_tpu.ops import flash_attention as fa
+
+        # kv=77 -> a single ragged kv block; q/out transposes dominate the
+        # kernel's memory traffic, everything else stays in VMEM
+        return fa.flash_attention(q, k, v, scale=kw.get("scale"))
+    return BASELINE_ATTENTION(q, k, v, **kw)
+
+
 VARIANTS = {
     "baseline": BASELINE_ATTENTION,
     "xattn_cheap": xattn_cheap,
     "selfattn_cheap": selfattn_cheap,
     "xattn_bqnk": xattn_bqnk,
     "xattn_bf16sm": xattn_bf16sm,
+    "xattn_flash": xattn_flash,
 }
 
 
