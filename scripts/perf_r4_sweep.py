@@ -1,4 +1,4 @@
-"""Round-4 v2 EXACT serving sweep: batch {4,8,16} x {sequential, pipelined}.
+"""Round-4 EXACT serving sweep: batch {4,8,16} x {sequential, pipelined}.
 
 The BASELINE metric is img/s/CHIP (not img/s at batch 1), so batch is a
 legitimate throughput lever; the round-3 verdict asked for this exact sweep
@@ -8,8 +8,11 @@ driver's cold ``python bench.py`` captures the numbers without compiling.
 Also warms the LCM 4-step cache (``ppt_v2_lcm4_512_b1.aot``) so the
 ``v2_lcm4_*`` extras fire, plus the v1/v2 batch-1 caches if missing.
 
-Run on the real TPU:  python scripts/perf_r4_sweep.py [batches...]
-Writes scripts/results_r4_sweep.json and prints one JSON line per config.
+Run on the real TPU:
+    python scripts/perf_r4_sweep.py [batches...]            # v2 (default)
+    python scripts/perf_r4_sweep.py --pipeline v1 [batches...]
+    python scripts/perf_r4_sweep.py --pipeline lcm 4 8      # LCM batch sweep
+Writes scripts/results_r4_sweep{_v1,_lcm}.json, one JSON line per config.
 """
 
 from __future__ import annotations
@@ -34,26 +37,33 @@ def _setup():
     pass
 
 
-def _build_v2():
+def _build(which: str = "v2"):
     import jax
     import jax.numpy as jnp
 
-    from powerpaint_tpu.core.config import ppt_v2_config
     from powerpaint_tpu.io.params import init_params
-    from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
     from powerpaint_tpu.text.tokenizer import (
         HashTokenizer,
         TokenizerWrapper,
         add_task_tokens,
     )
 
-    cfg = ppt_v2_config()
+    if which == "v2":
+        from powerpaint_tpu.core.config import ppt_v2_config
+        from powerpaint_tpu.pipelines.brushnet import BrushNetPipeline
+
+        cfg, cls = ppt_v2_config(), BrushNetPipeline
+    else:
+        from powerpaint_tpu.core.config import ppt_v1_config
+        from powerpaint_tpu.pipelines.inpaint import InpaintPipeline
+
+        cfg, cls = ppt_v1_config(), InpaintPipeline
     params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
                          dtype=jnp.bfloat16)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
-    return BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    return cls(cfg, params, tok, dtype=jnp.bfloat16)
 
 
 def _inputs():
@@ -64,8 +74,8 @@ def _inputs():
     return image, mask
 
 
-def sweep_batch(pipe, image, mask, bsz: int) -> dict:
-    aot_path = os.path.join(AOT_DIR, f"ppt_v2_512_b{bsz}.aot")
+def sweep_batch(pipe, image, mask, bsz: int, which: str = "v2") -> dict:
+    aot_path = os.path.join(AOT_DIR, f"ppt_{which}_512_b{bsz}.aot")
     warm = False
     if os.path.exists(aot_path):
         try:
@@ -129,8 +139,8 @@ def sweep_batch(pipe, image, mask, bsz: int) -> dict:
     return row
 
 
-def warm_lcm(pipe, image, mask) -> dict:
-    aot_path = os.path.join(AOT_DIR, "ppt_v2_lcm4_512_b1.aot")
+def warm_lcm(pipe, image, mask, bsz: int = 1) -> dict:
+    aot_path = os.path.join(AOT_DIR, f"ppt_v2_lcm4_512_b{bsz}.aot")
     warm = False
     if os.path.exists(aot_path):
         try:
@@ -139,10 +149,12 @@ def warm_lcm(pipe, image, mask) -> dict:
         except Exception:
             pass
 
+    kw = dict(num_inference_steps=4, guidance_scale=1.0, scheduler="lcm")
+    if bsz > 1:
+        kw["num_images_per_prompt"] = bsz
+
     def run(seed=0):
-        return pipe(image, mask, prompt="a red sports car", seed=seed,
-                    num_inference_steps=4, guidance_scale=1.0,
-                    scheduler="lcm")
+        return pipe(image, mask, prompt="a red sports car", seed=seed, **kw)
 
     t0 = time.time()
     run()
@@ -157,9 +169,92 @@ def warm_lcm(pipe, image, mask) -> dict:
         t0 = time.time()
         run(seed=i)
         ts.append(time.time() - t0)
+    K = 6
+    t0 = time.time()
+    pend = [
+        pipe.submit(image, mask, prompt="a red sports car", seed=400 + i,
+                    **kw)
+        for i in range(K)
+    ]
+    for p in pend:
+        p.result()
+    sustained = (K * bsz) / (time.time() - t0)
     return {
         "mode": "lcm4",
+        "batch": bsz,
+        "sequential_imgs_per_sec": round(bsz / min(ts), 4),
+        "pipelined_imgs_per_sec": round(sustained, 4),
+        "compile_s": round(compile_s, 1),
+        "aot_was_warm": warm,
+    }
+
+
+def warm_cn(image, mask) -> dict:
+    """v1+ControlNet batch-1: compile, dump ppt_cn_512_b1.aot, measure."""
+    import jax
+    import jax.numpy as jnp
+
+    from powerpaint_tpu.core.config import ppt_v1_controlnet_config
+    from powerpaint_tpu.io.params import init_params
+    from powerpaint_tpu.pipelines.controlnet import ControlNetPipeline
+    from powerpaint_tpu.text.tokenizer import (
+        HashTokenizer,
+        TokenizerWrapper,
+        add_task_tokens,
+    )
+
+    cfg = ppt_v1_controlnet_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), sample_hw=64,
+                         dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    tok = TokenizerWrapper(HashTokenizer())
+    add_task_tokens(tok)
+    pipe = ControlNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    aot_path = os.path.join(AOT_DIR, "ppt_cn_512_b1.aot")
+    warm = False
+    if os.path.exists(aot_path):
+        try:
+            pipe.aot_load(aot_path)
+            warm = True
+        except Exception:
+            pass
+    control = np.zeros((512, 512, 3), np.uint8)
+    control[::8, :, :] = 255
+
+    def run(seed=0):
+        return pipe(image, mask, control_image=control,
+                    prompt="a red sports car", seed=seed,
+                    num_inference_steps=20)
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    if not warm:
+        try:
+            pipe.aot_dump(aot_path)
+        except Exception as e:
+            print(f"cn aot dump failed: {e}", file=sys.stderr)
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(seed=i)
+        ts.append(time.time() - t0)
+    K = 6
+    t0 = time.time()
+    pend = [
+        pipe.submit(image, mask, control_image=control,
+                    prompt="a red sports car", seed=500 + i,
+                    num_inference_steps=20)
+        for i in range(K)
+    ]
+    for p in pend:
+        p.result()
+    sustained = K / (time.time() - t0)
+    return {
+        "mode": "cn",
+        "batch": 1,
         "sequential_imgs_per_sec": round(1.0 / min(ts), 4),
+        "pipelined_imgs_per_sec": round(sustained, 4),
         "compile_s": round(compile_s, 1),
         "aot_was_warm": warm,
     }
@@ -170,22 +265,44 @@ def main() -> None:
     import jax
 
     assert jax.devices()[0].platform == "tpu", "run this on the TPU"
-    batches = [int(a) for a in sys.argv[1:]] or [4, 8, 16]
+    argv = sys.argv[1:]
+    which = "v2"
+    if "--pipeline" in argv:
+        i = argv.index("--pipeline")
+        which = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    batches = [int(a) for a in argv] or [4, 8, 16]
     image, mask = _inputs()
     rows = []
-    for b in batches:
-        pipe = _build_v2()  # fresh pipe per config: one AOT entry each
-        row = sweep_batch(pipe, image, mask, b)
+    if which == "lcm":
+        # LCM 4-step batch sweep (the few-step serving mode): fresh v2
+        # pipe per config, executables dumped as ppt_v2_lcm4_512_b{N}.aot
+        for b in batches:
+            pipe = _build("v2")
+            row = warm_lcm(pipe, image, mask, bsz=b)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+            del pipe
+    elif which == "cn":
+        row = warm_cn(image, mask)
         print(json.dumps(row), flush=True)
         rows.append(row)
-        del pipe
-    pipe = _build_v2()
-    row = warm_lcm(pipe, image, mask)
-    print(json.dumps(row), flush=True)
-    rows.append(row)
-    out = os.path.join(REPO, "scripts", "results_r4_sweep.json")
+    else:
+        for b in batches:
+            pipe = _build(which)  # fresh pipe per config: one AOT entry each
+            row = sweep_batch(pipe, image, mask, b, which)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+            del pipe
+    if which == "v2":
+        pipe = _build(which)
+        row = warm_lcm(pipe, image, mask)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    suffix = "" if which == "v2" else f"_{which}"
+    out = os.path.join(REPO, "scripts", f"results_r4_sweep{suffix}.json")
     with open(out, "w") as f:
-        json.dump({"v2_sweep": rows, "note":
+        json.dump({f"{which}_sweep": rows, "note":
                    "v5e, 512^2, 20-step exact bf16, exp2 flash kernel rev 5",
                    }, f, indent=1)
     print(f"wrote {out}")
