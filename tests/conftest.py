@@ -19,8 +19,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# persistent compilation cache: repeat test runs skip XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/ppt_jax_test_cache")
+# persistent compilation cache: repeat test runs skip XLA compiles.
+# The dir name carries a host-CPU fingerprint: XLA:CPU AOT results bake in
+# machine features (AMX, prefer-no-scatter, ...) and a cache populated on a
+# different host loads with "could lead to execution errors such as SIGILL"
+# warnings — stale foreign executables must never serve this machine.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _cpu = ""
+_fp = hashlib.sha1(_cpu.encode()).hexdigest()[:8]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/ppt_jax_test_cache_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402

@@ -64,7 +64,12 @@ def test_v1_loss_decreases(v1_setup):
     state = init_train_state(params, tx)
     step = make_train_step(loss_fn, tx, donate=False)
 
-    batch = next(data)  # overfit one batch: loss must drop fast
+    # own deterministic batch, overfit it (the shared module iterator's
+    # position depends on which tests ran first on this xdist worker, and
+    # an 12-step loss-decrease bound is batch-dependent)
+    own = batches(SyntheticSource(hw=32, seed=11), _tok(), batch_size=2,
+                  version="ppt-v1", seed=12)
+    batch = next(own)
     rng = jax.random.PRNGKey(0)
     # deterministic before/after comparison: same eval rng (the training
     # steps themselves draw fresh t/eps per step, so per-step loss is noisy)
@@ -177,7 +182,12 @@ def test_lora_training_and_roundtrip(v1_setup):
     tx = make_optimizer(5e-3, weight_decay=0.0)
     state = init_train_state(lora, tx)
     step = make_train_step(loss_fn, tx, donate=False)
-    batch = next(data)
+    # own deterministic batch: the shared iterator's position depends on
+    # xdist scheduling, and the 8-step loss-decrease assertion below is
+    # batch-dependent (seen flaky under -n 4)
+    own = batches(SyntheticSource(hw=32, seed=41), _tok(), batch_size=2,
+                  version="ppt-v1", seed=42)
+    batch = next(own)
     rng = jax.random.PRNGKey(0)
     eval_rng = jax.random.PRNGKey(42)
     eval_loss = jax.jit(lambda lt: loss_fn(lt, batch, eval_rng)[0])
