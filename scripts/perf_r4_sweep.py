@@ -189,6 +189,47 @@ def warm_lcm(pipe, image, mask, bsz: int = 1) -> dict:
     }
 
 
+def warm_s10(image, mask, which: str) -> dict:
+    """Dump the 10-step batch-1 executable (``ppt_{which}_512_b1_s10.aot``)
+    bench.py uses for its step-latency slope.  Must happen HERE: bench.py
+    runs with the persistent XLA cache enabled, and XLA cannot re-serialize
+    an executable restored from that cache — only this script's
+    fresh-compile process can produce the file."""
+    pipe = _build(which)
+    aot_path = os.path.join(AOT_DIR, f"ppt_{which}_512_b1_s10.aot")
+    warm = False
+    if os.path.exists(aot_path):
+        try:
+            pipe.aot_load(aot_path)
+            warm = True
+        except Exception:
+            pass
+
+    def run(seed=0):
+        return pipe(image, mask, prompt="a red sports car", seed=seed,
+                    num_inference_steps=10)
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    if not warm:
+        try:
+            pipe.aot_dump(aot_path)
+        except Exception as e:
+            print(f"s10 aot dump failed: {e}", file=sys.stderr)
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(seed=i)
+        ts.append(time.time() - t0)
+    return {
+        "mode": f"{which}_s10",
+        "t_total_10step_s": round(min(ts), 4),
+        "compile_s": round(compile_s, 1),
+        "aot_was_warm": warm,
+    }
+
+
 def warm_cn(image, mask) -> dict:
     """v1+ControlNet batch-1: compile, dump ppt_cn_512_b1.aot, measure."""
     import jax
@@ -287,6 +328,12 @@ def main() -> None:
         row = warm_cn(image, mask)
         print(json.dumps(row), flush=True)
         rows.append(row)
+    elif which == "s10":
+        # 10-step slope executables for both headline pipelines
+        for w in ("v1", "v2"):
+            row = warm_s10(image, mask, w)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
     else:
         for b in batches:
             pipe = _build(which)  # fresh pipe per config: one AOT entry each
