@@ -261,10 +261,18 @@ def main() -> None:
             pass
 
     # EXACT batched serving, both pipelines (the BASELINE metric is
-    # img/s/CHIP — batch is a legitimate throughput lever): bench every
-    # warm batched executable, sequential AND pipelined, and surface the
-    # best exact number per pipeline.  AOT-gated like `other` so the
-    # default run never compiles.
+    # img/s/CHIP — batch is a legitimate throughput lever): bench the warm
+    # batched executables, sequential AND pipelined, and surface the best
+    # exact number per pipeline.  AOT-gated like `other` so the default
+    # run never compiles.  The default benches only the measured-best
+    # batch (8 — the b4/b8/b16 sweeps in scripts/results_r4_sweep*.json
+    # show saturation there for v1, v2 AND lcm); each skipped AOT load +
+    # measurement costs ~2 min of driver wall-clock.  Set
+    # POWERPAINT_BENCH_BATCHES=4,8,16 for the full in-bench table.
+    bench_batches = {
+        int(b) for b in os.environ.get(
+            "POWERPAINT_BENCH_BATCHES", "8").split(",") if b.strip()
+    }
     if platform == "tpu":
         import glob as _glob
 
@@ -291,7 +299,7 @@ def main() -> None:
                     b = int(name.split("_b")[-1].split(".")[0].split("_")[0])
                 except ValueError:
                     continue
-                if b <= 1:
+                if b <= 1 or b not in bench_batches:
                     continue
                 try:
                     row = _bench_batch(w, b, p, image, mask)
@@ -328,6 +336,8 @@ def main() -> None:
                 b = int(name.split("_b")[-1].split(".")[0])
             except ValueError:
                 continue
+            if b > 1 and b not in bench_batches:
+                continue  # same saturation-best default as the exact modes
             try:
                 row = _bench_lcm(p, image, mask, bsz=b)
             except Exception:
