@@ -17,6 +17,25 @@ import time
 import numpy as np
 
 
+def _aot_repair_stale(pipe, sig, path: str, warm: bool) -> bool:
+    """After a pipeline's warmup call: detect the SILENT-miss case where
+    ``aot_load`` succeeded but the call's signature no longer matched, so
+    the dispatcher quietly fell back to a fresh (multi-minute) jit compile
+    and the stale file would survive to tax every future run.  Drop the
+    dead entry, delete the file, and return False so the caller's
+    not-warm branch re-dumps the program the warmup just compiled (a
+    near-free serialization, not a second compile).  Returns ``warm``
+    unchanged when the executable actually served or none was loaded."""
+    if warm and sig is not None and not pipe.aot_proven(sig):
+        pipe.aot_drop(sig)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return False
+    return warm
+
+
 def main() -> None:
     import jax
 
@@ -90,9 +109,10 @@ def main() -> None:
         aot_dir, f"ppt_{which}_512_b1{'_im2col' if im2col else ''}.aot"
     )
     aot_loaded = False
+    aot_sig = None
     if platform == "tpu" and os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            aot_sig = pipe.aot_load(aot_path)
             aot_loaded = True
         except Exception:
             pass
@@ -100,9 +120,10 @@ def main() -> None:
     # cache it separately or every bench run pays its compile
     aot10_path = aot_path.replace(".aot", "_s10.aot")
     aot10_loaded = False
+    aot10_sig = None
     if platform == "tpu" and os.path.exists(aot10_path):
         try:
-            pipe.aot_load(aot10_path)
+            aot10_sig = pipe.aot_load(aot10_path)
             aot10_loaded = True
         except Exception:
             pass
@@ -125,9 +146,12 @@ def main() -> None:
         aot_loaded = False
         run(20)
     compile_20 = time.time() - t0
+    aot_loaded = _aot_repair_stale(pipe, aot_sig, aot_path, aot_loaded)
     t0 = time.time()
     run(10)
     compile_10 = time.time() - t0
+    aot10_loaded = _aot_repair_stale(pipe, aot10_sig, aot10_path,
+                                     aot10_loaded)
     if platform == "tpu" and not aot10_loaded:
         try:
             os.makedirs(aot_dir, exist_ok=True)
@@ -190,9 +214,10 @@ def main() -> None:
             f"ppt_{which}_512_b{bsz}{'_im2col' if im2col else ''}.aot",
         )
         b_loaded = False
+        b_sig = None
         if platform == "tpu" and os.path.exists(aot_b):
             try:
-                pipe.aot_load(aot_b)
+                b_sig = pipe.aot_load(aot_b)
                 b_loaded = True
             except Exception:
                 pass
@@ -211,6 +236,7 @@ def main() -> None:
                 pass
             b_loaded = False
             run_b(20)
+        b_loaded = _aot_repair_stale(pipe, b_sig, aot_b, b_loaded)
         if platform == "tpu" and not b_loaded:
             try:
                 pipe.aot_dump(aot_b)
@@ -421,9 +447,10 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
     add_task_tokens(tok)
     pipe = cls(cfg, params, tok, dtype=jnp.bfloat16)
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -433,6 +460,7 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
                     num_inference_steps=20)
 
     run()  # warmup (AOT'd or compile)
+    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             os.makedirs(os.path.dirname(aot_path), exist_ok=True)
@@ -495,13 +523,20 @@ def _bench_batch(which: str, bsz: int, aot_path: str, image, mask) -> dict:
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
     pipe = cls(cfg, params, tok, dtype=jnp.bfloat16)
-    pipe.aot_load(aot_path)
+    sig = pipe.aot_load(aot_path)
 
     def run(seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed,
                     num_inference_steps=20, num_images_per_prompt=bsz)
 
     run()  # AOT-warm execute (raises if the executable is stale)
+    if not _aot_repair_stale(pipe, sig, aot_path, True):
+        # silent signature miss: the warmup jit-compiled; re-dump so the
+        # next run rides the cache
+        try:
+            pipe.aot_dump(aot_path)
+        except Exception:
+            pass
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -552,9 +587,10 @@ def _bench_cn(aot_path: str, image, mask) -> dict:
     add_task_tokens(tok)
     pipe = ControlNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -568,6 +604,7 @@ def _bench_cn(aot_path: str, image, mask) -> dict:
                     num_inference_steps=20)
 
     run()
+    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             os.makedirs(os.path.dirname(aot_path), exist_ok=True)
@@ -628,9 +665,10 @@ def _bench_lcm(aot_path: str, image, mask, bsz: int = 1) -> dict:
     add_task_tokens(tok)
     pipe = BrushNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -643,6 +681,7 @@ def _bench_lcm(aot_path: str, image, mask, bsz: int = 1) -> dict:
         return pipe(image, mask, prompt="a red sports car", seed=seed, **kw)
 
     run()
+    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             os.makedirs(os.path.dirname(aot_path), exist_ok=True)

@@ -321,3 +321,22 @@ class AotPipelineMixin:
         for d in self._aot_dispatchers():
             d._entries.append([sig, exe, False])
         return sig
+
+    def aot_proven(self, sig) -> bool:
+        """True once the loaded executable with this signature (the value
+        ``aot_load`` returned) has actually served a call.  False after a
+        warmup call that silently fell back to jit — the file on disk no
+        longer matches the call's shapes/statics and the caller should
+        drop it and re-dump from the freshly-compiled program, or every
+        future process pays the load PLUS the multi-minute compile."""
+        return any(
+            e[2]
+            for d in self._aot_dispatchers()
+            for e in d._entries
+            if e[0] == sig
+        )
+
+    def aot_drop(self, sig) -> None:
+        """Forget a loaded executable (pair with deleting its file)."""
+        for d in self._aot_dispatchers():
+            d._entries[:] = [e for e in d._entries if e[0] != sig]

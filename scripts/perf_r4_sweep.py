@@ -29,6 +29,23 @@ sys.path.insert(0, REPO)
 AOT_DIR = os.path.join(REPO, ".aot")
 
 
+def _repair_stale(pipe, sig, path: str, warm: bool) -> bool:
+    """Detect the silent-miss case after the warmup call (aot_load
+    succeeded but the call's signature didn't match, so it quietly paid a
+    fresh jit compile): drop the dead entry + file and return False so
+    the caller's not-warm branch re-dumps the program the warmup just
+    compiled (bench.py applies the same repair — see
+    bench._aot_repair_stale)."""
+    if warm and sig is not None and not pipe.aot_proven(sig):
+        pipe.aot_drop(sig)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        return False
+    return warm
+
+
 def _setup():
     # NO persistent compilation cache here: XLA cannot re-serialize an
     # executable it restored from that cache (io/aot.py:277-283), and this
@@ -77,9 +94,10 @@ def _inputs():
 def sweep_batch(pipe, image, mask, bsz: int, which: str = "v2") -> dict:
     aot_path = os.path.join(AOT_DIR, f"ppt_{which}_512_b{bsz}.aot")
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -101,6 +119,7 @@ def sweep_batch(pipe, image, mask, bsz: int, which: str = "v2") -> dict:
         warm = False
         run()
     compile_s = time.time() - t0
+    warm = _repair_stale(pipe, sig, aot_path, warm)
     dump_error = None
     if not warm:
         os.makedirs(AOT_DIR, exist_ok=True)
@@ -142,9 +161,10 @@ def sweep_batch(pipe, image, mask, bsz: int, which: str = "v2") -> dict:
 def warm_lcm(pipe, image, mask, bsz: int = 1) -> dict:
     aot_path = os.path.join(AOT_DIR, f"ppt_v2_lcm4_512_b{bsz}.aot")
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -159,6 +179,7 @@ def warm_lcm(pipe, image, mask, bsz: int = 1) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
+    warm = _repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             pipe.aot_dump(aot_path)
@@ -198,9 +219,10 @@ def warm_s10(image, mask, which: str) -> dict:
     pipe = _build(which)
     aot_path = os.path.join(AOT_DIR, f"ppt_{which}_512_b1_s10.aot")
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -212,6 +234,7 @@ def warm_s10(image, mask, which: str) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
+    warm = _repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             pipe.aot_dump(aot_path)
@@ -253,9 +276,10 @@ def warm_cn(image, mask) -> dict:
     pipe = ControlNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
     aot_path = os.path.join(AOT_DIR, "ppt_cn_512_b1.aot")
     warm = False
+    sig = None
     if os.path.exists(aot_path):
         try:
-            pipe.aot_load(aot_path)
+            sig = pipe.aot_load(aot_path)
             warm = True
         except Exception:
             pass
@@ -270,6 +294,7 @@ def warm_cn(image, mask) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
+    warm = _repair_stale(pipe, sig, aot_path, warm)
     if not warm:
         try:
             pipe.aot_dump(aot_path)

@@ -102,6 +102,47 @@ def test_v2_pipeline_aot_roundtrip(tmp_path):
     np.testing.assert_array_equal(ref, out)
 
 
+def test_proven_and_drop_detect_silent_miss(tmp_path):
+    """aot_proven/aot_drop power the bench-side stale-file repair
+    (bench._aot_repair_stale): a loaded executable whose signature never
+    matches any call falls back to jit SILENTLY — no exception, just a
+    hidden multi-minute compile — so the only way to notice is that the
+    entry never got proven.  Detect it, drop it."""
+    from powerpaint_tpu.io.aot import AotPipelineMixin
+
+    class P(AotPipelineMixin):
+        quantize = None
+        sequence_parallel = False
+
+        def __init__(self, jitted):
+            self._generate = AotDispatcher(jitted, n_static_tail=1)
+
+    jitted = jax.jit(_f, static_argnames=("flag",))
+    x = jnp.ones((64, 32))
+    w = jnp.ones((32, 16))
+    scale = jnp.float32(0.5)
+    p = P(jitted)
+    p._generate(x, w, None, scale, True)
+    path = str(tmp_path / "p.aot")
+    p._generate.dump_last(path, mode=p._aot_mode())
+
+    # matching call: entry serves and becomes proven
+    p2 = P(jitted)
+    sig = p2.aot_load(path)
+    assert not p2.aot_proven(sig)  # loaded but not served yet
+    p2._generate(x, w, None, scale, True)
+    assert p2.aot_proven(sig)
+
+    # mismatching call (different shape): silent jit fallback — the
+    # entry stays unproven, and aot_drop removes it
+    p3 = P(jitted)
+    sig3 = p3.aot_load(path)
+    p3._generate(jnp.ones((8, 32)), w, None, scale, True)
+    assert not p3.aot_proven(sig3)
+    p3.aot_drop(sig3)
+    assert not p3._generate._entries
+
+
 def test_broken_executable_falls_back_to_jit():
     """A loaded executable that crashes at run time (e.g. XLA re-serialized
     a persistent-cache-restored executable) is dropped and the call
