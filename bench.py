@@ -17,23 +17,29 @@ import time
 import numpy as np
 
 
-def _aot_repair_stale(pipe, sig, path: str, warm: bool) -> bool:
-    """After a pipeline's warmup call: detect the SILENT-miss case where
-    ``aot_load`` succeeded but the call's signature no longer matched, so
-    the dispatcher quietly fell back to a fresh (multi-minute) jit compile
-    and the stale file would survive to tax every future run.  Drop the
-    dead entry, delete the file, and return False so the caller's
-    not-warm branch re-dumps the program the warmup just compiled (a
-    near-free serialization, not a second compile).  Returns ``warm``
-    unchanged when the executable actually served or none was loaded."""
-    if warm and sig is not None and not pipe.aot_proven(sig):
-        pipe.aot_drop(sig)
-        try:
-            os.remove(path)
-        except OSError:
-            pass
-        return False
-    return warm
+# AOT cache bookkeeping for the extras block: every executable the bench
+# touches records whether its file loaded, whether it actually SERVED the
+# warmup (a load whose signature no longer matches falls back to a silent
+# multi-minute compile), and the warmup seconds — so a slow driver run
+# diagnoses itself (`aot_misses` names exactly which program compiled cold).
+AOT_STATUS: dict = {}
+
+
+def _aot_note(name: str, loaded: bool, served: bool, warmup_s: float) -> None:
+    AOT_STATUS[name] = {
+        "loaded": bool(loaded),
+        "served": bool(served),
+        "warmup_s": round(warmup_s, 1),
+    }
+
+
+def _aot_extras() -> dict:
+    return {
+        "aot_status": AOT_STATUS,
+        "aot_misses": sorted(
+            k for k, v in AOT_STATUS.items() if not v["served"]
+        ),
+    }
 
 
 def main() -> None:
@@ -146,25 +152,20 @@ def main() -> None:
         aot_loaded = False
         run(20)
     compile_20 = time.time() - t0
-    aot_loaded = _aot_repair_stale(pipe, aot_sig, aot_path, aot_loaded)
+    loaded_pre = aot_loaded
+    aot_loaded = pipe.aot_repair_stale(aot_sig, aot_path, aot_loaded)
+    _aot_note(f"{which}_b1_s20", loaded_pre, aot_loaded, compile_20)
     t0 = time.time()
     run(10)
     compile_10 = time.time() - t0
-    aot10_loaded = _aot_repair_stale(pipe, aot10_sig, aot10_path,
-                                     aot10_loaded)
+    loaded10_pre = aot10_loaded
+    aot10_loaded = pipe.aot_repair_stale(aot10_sig, aot10_path, aot10_loaded)
+    _aot_note(f"{which}_b1_s10", loaded10_pre, aot10_loaded, compile_10)
     if platform == "tpu" and not aot10_loaded:
-        try:
-            os.makedirs(aot_dir, exist_ok=True)
-            pipe.aot_dump(aot10_path)  # 10-step call is the most recent
-        except Exception:
-            pass
+        pipe.aot_redump(aot10_path)  # 10-step call is the most recent
     if platform == "tpu" and not aot_loaded:
-        try:
-            os.makedirs(aot_dir, exist_ok=True)
-            run(20)  # make the 20-step call the dispatcher's last
-            pipe.aot_dump(aot_path)
-        except Exception:
-            pass
+        run(20)  # make the 20-step call the dispatcher's last
+        pipe.aot_redump(aot_path)
 
     def timed(steps, n=3):
         ts = []
@@ -174,16 +175,23 @@ def main() -> None:
             ts.append(time.time() - t0)
         return ts
 
-    ts20 = timed(20)
-    ts10 = timed(10)
-    t20, t10 = min(ts20), min(ts10)
     # marginal denoise-step latency: paired (20-step, 10-step) slope
-    # samples; the headline is the MEDIAN of the samples, named for what
-    # it is (a slope estimate, not a sampled per-step percentile)
+    # samples — >=5 samples, outliers beyond 1.5x the raw median rejected,
+    # headline is the MEDIAN of the survivors (a slope estimate, not a
+    # sampled per-step percentile); the full sample list + spread ship in
+    # the extras so a straggler (host jitter on the remote tunnel) is
+    # visible instead of silently widening the headline
+    N_SLOPE = 5
+    ts20 = timed(20, n=N_SLOPE)
+    ts10 = timed(10, n=N_SLOPE)
+    t20, t10 = min(ts20), min(ts10)
     slopes_ms = sorted(
         (a - b) / 10.0 * 1000.0 for a, b in zip(ts20, ts10)
     )
-    per_step_ms = slopes_ms[len(slopes_ms) // 2]
+    raw_median = slopes_ms[len(slopes_ms) // 2]
+    kept = [s for s in slopes_ms if s <= 1.5 * raw_median] or slopes_ms
+    per_step_ms = kept[len(kept) // 2]
+    slope_spread_ms = slopes_ms[-1] - slopes_ms[0]
     imgs_per_sec = 1.0 / t20
 
     # sustained serving throughput: queue K dispatches back to back
@@ -223,6 +231,7 @@ def main() -> None:
                 pass
         # compile (or AOT-warm); a stale/broken serialized executable is
         # discarded and recompiled, mirroring the batch-1 recovery above
+        t0 = time.time()
         try:
             run_b(20)
         except Exception:
@@ -236,12 +245,11 @@ def main() -> None:
                 pass
             b_loaded = False
             run_b(20)
-        b_loaded = _aot_repair_stale(pipe, b_sig, aot_b, b_loaded)
+        b_pre = b_loaded
+        b_loaded = pipe.aot_repair_stale(b_sig, aot_b, b_loaded)
+        _aot_note(f"{which}_b{bsz}_s20", b_pre, b_loaded, time.time() - t0)
         if platform == "tpu" and not b_loaded:
-            try:
-                pipe.aot_dump(aot_b)
-            except Exception:
-                pass
+            pipe.aot_redump(aot_b)
         ts = []
         for i in range(3):
             t0 = time.time()
@@ -400,6 +408,7 @@ def main() -> None:
             "t_total_10step_s": round(t10, 4),
             "step_latency_slope_ms": round(per_step_ms, 2),
             "slope_samples_ms": [round(s, 2) for s in slopes_ms],
+            "slope_spread_ms": round(slope_spread_ms, 2),
             "compile_s": round(compile_20 + compile_10, 1),
             "sustained_imgs_per_sec": round(sustained, 4),
             "aot_warm": aot_loaded,
@@ -407,6 +416,7 @@ def main() -> None:
             "dtype": "bfloat16",
             **batched,
             **other,
+            **_aot_extras(),
         },
     }
     print(json.dumps(result))
@@ -459,14 +469,13 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
         return pipe(image, mask, prompt="a red sports car", seed=seed,
                     num_inference_steps=20)
 
+    t0 = time.time()
     run()  # warmup (AOT'd or compile)
-    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
+    pre = warm
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
+    _aot_note(f"{which}_b1_s20", pre, warm, time.time() - t0)
     if not warm:
-        try:
-            os.makedirs(os.path.dirname(aot_path), exist_ok=True)
-            pipe.aot_dump(aot_path)
-        except Exception:
-            pass
+        pipe.aot_redump(aot_path)
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -529,14 +538,17 @@ def _bench_batch(which: str, bsz: int, aot_path: str, image, mask) -> dict:
         return pipe(image, mask, prompt="a red sports car", seed=seed,
                     num_inference_steps=20, num_images_per_prompt=bsz)
 
-    run()  # AOT-warm execute (raises if the executable is stale)
-    if not _aot_repair_stale(pipe, sig, aot_path, True):
+    # AOT-warm execute; a silent signature miss never raises — it falls
+    # back to a fresh jit compile, which aot_repair_stale detects below
+    # (the dead file is only replaced once a validated re-dump succeeds)
+    t0 = time.time()
+    run()
+    served = pipe.aot_repair_stale(sig, aot_path, True)
+    _aot_note(f"{which}_b{bsz}_s20", True, served, time.time() - t0)
+    if not served:
         # silent signature miss: the warmup jit-compiled; re-dump so the
         # next run rides the cache
-        try:
-            pipe.aot_dump(aot_path)
-        except Exception:
-            pass
+        pipe.aot_redump(aot_path)
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -603,14 +615,13 @@ def _bench_cn(aot_path: str, image, mask) -> dict:
                     prompt="a red sports car", seed=seed,
                     num_inference_steps=20)
 
+    t0 = time.time()
     run()
-    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
+    pre = warm
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
+    _aot_note("cn_b1_s20", pre, warm, time.time() - t0)
     if not warm:
-        try:
-            os.makedirs(os.path.dirname(aot_path), exist_ok=True)
-            pipe.aot_dump(aot_path)
-        except Exception:
-            pass
+        pipe.aot_redump(aot_path)
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -680,14 +691,13 @@ def _bench_lcm(aot_path: str, image, mask, bsz: int = 1) -> dict:
     def run(seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed, **kw)
 
+    t0 = time.time()
     run()
-    warm = _aot_repair_stale(pipe, sig, aot_path, warm)
+    pre = warm
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
+    _aot_note(f"v2_lcm4_b{bsz}", pre, warm, time.time() - t0)
     if not warm:
-        try:
-            os.makedirs(os.path.dirname(aot_path), exist_ok=True)
-            pipe.aot_dump(aot_path)
-        except Exception:
-            pass
+        pipe.aot_redump(aot_path)
     ts = []
     for i in range(3):
         t0 = time.time()

@@ -340,3 +340,55 @@ class AotPipelineMixin:
         """Forget a loaded executable (pair with deleting its file)."""
         for d in self._aot_dispatchers():
             d._entries[:] = [e for e in d._entries if e[0] != sig]
+
+    def aot_repair_stale(self, sig, path: str, warm: bool) -> bool:
+        """After a warmup call: detect the SILENT-miss case where
+        ``aot_load`` succeeded but the call's signature no longer matched,
+        so the dispatcher quietly fell back to a fresh (multi-minute) jit
+        compile.  Drops the dead in-memory entry and returns False so the
+        caller re-dumps via :meth:`aot_redump` — which only replaces the
+        on-disk file once the new dump is known good, so a failed
+        re-serialization never leaves the cache entry deleted.  Returns
+        ``warm`` unchanged when the executable actually served (or none
+        was loaded)."""
+        if warm and sig is not None and not self.aot_proven(sig):
+            logger.warning(
+                "AOT executable %s loaded but did not match the warmup "
+                "call's signature — the warmup paid a fresh compile; "
+                "re-dump it (aot_redump) so future runs ride the cache",
+                path,
+            )
+            self.aot_drop(sig)
+            return False
+        return warm
+
+    def aot_redump(self, path: str) -> bool:
+        """Serialize the most recent call's executable to ``path`` safely:
+        dump+validate into a temp file and atomically replace only on
+        success.  A failed re-serialization (common when the warmup's
+        "compile" was actually a persistent-cache restore, which XLA
+        cannot re-serialize) keeps whatever file was there and warns
+        loudly instead of silently losing the cache entry.  Returns True
+        when ``path`` now holds a validated executable."""
+        import os
+
+        tmp = path + ".tmp"
+        try:
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            self.aot_dump(tmp)
+            os.replace(tmp, path)
+            return True
+        except Exception as e:
+            logger.warning(
+                "aot re-dump to %s failed: %s: %s — keeping the previous "
+                "file; dump from a freshly-compiled process "
+                "(scripts/warm_aot.sh) to repair it",
+                path, type(e).__name__, e,
+            )
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            return False

@@ -29,23 +29,6 @@ sys.path.insert(0, REPO)
 AOT_DIR = os.path.join(REPO, ".aot")
 
 
-def _repair_stale(pipe, sig, path: str, warm: bool) -> bool:
-    """Detect the silent-miss case after the warmup call (aot_load
-    succeeded but the call's signature didn't match, so it quietly paid a
-    fresh jit compile): drop the dead entry + file and return False so
-    the caller's not-warm branch re-dumps the program the warmup just
-    compiled (bench.py applies the same repair — see
-    bench._aot_repair_stale)."""
-    if warm and sig is not None and not pipe.aot_proven(sig):
-        pipe.aot_drop(sig)
-        try:
-            os.remove(path)
-        except OSError:
-            pass
-        return False
-    return warm
-
-
 def _setup():
     # NO persistent compilation cache here: XLA cannot re-serialize an
     # executable it restored from that cache (io/aot.py:277-283), and this
@@ -119,14 +102,13 @@ def sweep_batch(pipe, image, mask, bsz: int, which: str = "v2") -> dict:
         warm = False
         run()
     compile_s = time.time() - t0
-    warm = _repair_stale(pipe, sig, aot_path, warm)
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
     dump_error = None
     if not warm:
-        os.makedirs(AOT_DIR, exist_ok=True)
-        try:
-            pipe.aot_dump(aot_path)
-        except Exception as e:  # keep measuring even if the dump fails
-            dump_error = str(e)[:200]
+        # temp-file dump + atomic replace: a failed re-serialization keeps
+        # the previous file instead of deleting the cache entry
+        if not pipe.aot_redump(aot_path):
+            dump_error = "aot re-dump failed (see log); previous file kept"
 
     ts = []
     for i in range(3):
@@ -179,12 +161,9 @@ def warm_lcm(pipe, image, mask, bsz: int = 1) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
-    warm = _repair_stale(pipe, sig, aot_path, warm)
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
     if not warm:
-        try:
-            pipe.aot_dump(aot_path)
-        except Exception as e:
-            print(f"lcm aot dump failed: {e}", file=sys.stderr)
+        pipe.aot_redump(aot_path)  # warns loudly on failure, keeps old file
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -234,12 +213,9 @@ def warm_s10(image, mask, which: str) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
-    warm = _repair_stale(pipe, sig, aot_path, warm)
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
     if not warm:
-        try:
-            pipe.aot_dump(aot_path)
-        except Exception as e:
-            print(f"s10 aot dump failed: {e}", file=sys.stderr)
+        pipe.aot_redump(aot_path)  # warns loudly on failure, keeps old file
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -294,12 +270,9 @@ def warm_cn(image, mask) -> dict:
     t0 = time.time()
     run()
     compile_s = time.time() - t0
-    warm = _repair_stale(pipe, sig, aot_path, warm)
+    warm = pipe.aot_repair_stale(sig, aot_path, warm)
     if not warm:
-        try:
-            pipe.aot_dump(aot_path)
-        except Exception as e:
-            print(f"cn aot dump failed: {e}", file=sys.stderr)
+        pipe.aot_redump(aot_path)  # warns loudly on failure, keeps old file
     ts = []
     for i in range(3):
         t0 = time.time()
@@ -337,6 +310,12 @@ def main() -> None:
         i = argv.index("--pipeline")
         which = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --warm-only: dump executables but do NOT overwrite the committed
+    # results_r4_sweep*.json sweep evidence (warm rows go to warm_*.json) —
+    # this is the mode scripts/warm_aot.sh uses after a container reset
+    warm_only = "--warm-only" in argv
+    if warm_only:
+        argv.remove("--warm-only")
     batches = [int(a) for a in argv] or [4, 8, 16]
     image, mask = _inputs()
     rows = []
@@ -372,7 +351,8 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         rows.append(row)
     suffix = "" if which == "v2" else f"_{which}"
-    out = os.path.join(REPO, "scripts", f"results_r4_sweep{suffix}.json")
+    stem = f"warm_r4_sweep{suffix}" if warm_only else f"results_r4_sweep{suffix}"
+    out = os.path.join(REPO, "scripts", f"{stem}.json")
     with open(out, "w") as f:
         json.dump({f"{which}_sweep": rows, "note":
                    "v5e, 512^2, 20-step exact bf16, exp2 flash kernel rev 5",

@@ -5,6 +5,8 @@ to serving cold start — serialize the compiled generate executable, load
 it in a fresh process, first image runs without tracing or compiling.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -103,9 +105,9 @@ def test_v2_pipeline_aot_roundtrip(tmp_path):
 
 
 def test_proven_and_drop_detect_silent_miss(tmp_path):
-    """aot_proven/aot_drop power the bench-side stale-file repair
-    (bench._aot_repair_stale): a loaded executable whose signature never
-    matches any call falls back to jit SILENTLY — no exception, just a
+    """aot_proven/aot_drop power the stale-executable repair
+    (AotPipelineMixin.aot_repair_stale): a loaded executable whose signature
+    never matches any call falls back to jit SILENTLY — no exception, just a
     hidden multi-minute compile — so the only way to notice is that the
     entry never got proven.  Detect it, drop it."""
     from powerpaint_tpu.io.aot import AotPipelineMixin
@@ -141,6 +143,92 @@ def test_proven_and_drop_detect_silent_miss(tmp_path):
     assert not p3.aot_proven(sig3)
     p3.aot_drop(sig3)
     assert not p3._generate._entries
+
+
+def test_repair_stale_and_redump(tmp_path):
+    """aot_repair_stale drops the dead in-memory entry but leaves the file
+    on disk; aot_redump writes the replacement via a temp file and only
+    swaps it in once validated (ADVICE round 4: a failed re-serialization
+    must never leave the cache entry deleted)."""
+    from powerpaint_tpu.io.aot import AotPipelineMixin
+
+    class P(AotPipelineMixin):
+        quantize = None
+        sequence_parallel = False
+
+        def __init__(self, jitted):
+            self._generate = AotDispatcher(jitted, n_static_tail=1)
+
+    jitted = jax.jit(_f, static_argnames=("flag",))
+    x = jnp.ones((64, 32))
+    w = jnp.ones((32, 16))
+    scale = jnp.float32(0.5)
+    p = P(jitted)
+    p._generate(x, w, None, scale, True)
+    path = str(tmp_path / "p.aot")
+    p._generate.dump_last(path, mode=p._aot_mode())
+    with open(path, "rb") as f:
+        before = f.read()
+
+    # warmup with a DIFFERENT shape: silent jit fallback -> repair returns
+    # False and drops the entry, but the on-disk file is untouched
+    p2 = P(jitted)
+    sig = p2.aot_load(path)
+    p2._generate(jnp.ones((8, 32)), w, None, scale, True)
+    assert p2.aot_repair_stale(sig, path, True) is False
+    assert not p2._generate._entries
+    with open(path, "rb") as f:
+        assert f.read() == before  # NOT deleted before a good replacement
+
+    # a matching warmup leaves everything alone (warm stays True)
+    p4 = P(jitted)
+    sig4 = p4.aot_load(path)
+    p4._generate(x, w, None, scale, True)
+    assert p4.aot_repair_stale(sig4, path, True) is True
+
+    # redump atomically replaces the file with the new program; the new
+    # file loads and serves the new shape without jit
+    assert p2.aot_redump(path)
+    assert not os.path.exists(path + ".tmp")
+    p3 = P(jitted)
+    sig3 = p3.aot_load(path)
+    p3._generate(jnp.ones((8, 32)), w, None, scale, True)
+    assert p3.aot_proven(sig3)
+
+
+def test_redump_failure_keeps_old_file(tmp_path, monkeypatch):
+    """When the dump itself fails (XLA cannot re-serialize a persistent-
+    cache-restored executable), aot_redump returns False, cleans its temp
+    file, and the previous file survives."""
+    from powerpaint_tpu.io import aot as aot_mod
+    from powerpaint_tpu.io.aot import AotPipelineMixin
+
+    class P(AotPipelineMixin):
+        quantize = None
+        sequence_parallel = False
+
+        def __init__(self, jitted):
+            self._generate = AotDispatcher(jitted, n_static_tail=1)
+
+    jitted = jax.jit(_f, static_argnames=("flag",))
+    x = jnp.ones((64, 32))
+    w = jnp.ones((32, 16))
+    scale = jnp.float32(0.5)
+    p = P(jitted)
+    p._generate(x, w, None, scale, True)
+    path = str(tmp_path / "p.aot")
+    p._generate.dump_last(path, mode=p._aot_mode())
+    with open(path, "rb") as f:
+        before = f.read()
+
+    def boom(*a, **k):
+        raise RuntimeError("Buffer Definition Event: not found")
+
+    monkeypatch.setattr(P, "aot_dump", boom)
+    assert p.aot_redump(path) is False
+    assert not os.path.exists(path + ".tmp")
+    with open(path, "rb") as f:
+        assert f.read() == before
 
 
 def test_broken_executable_falls_back_to_jit():
