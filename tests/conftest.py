@@ -46,7 +46,31 @@ def pytest_addoption(parser):
     )
 
 
+# fast tier (`make test-fast` / `pytest -m fast`): files whose tests run
+# without multi-minute XLA pipeline compiles — host logic, converters,
+# scheduler table math, native C++ bindings, serving glue.  The in-round
+# hygiene gate on a 1-CPU box; expected wall times per tier are in
+# README.md "Tests".
+FAST_FILES = {
+    "test_api_surface.py",
+    "test_aux_components.py",
+    "test_batcher.py",
+    "test_controller_validation.py",
+    "test_convert.py",
+    "test_native.py",
+    "test_scheduler_exactness.py",
+    "test_schedulers.py",
+    "test_serve_io.py",
+    "test_tokenizer.py",
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    import os as _os
+
+    for item in items:
+        if _os.path.basename(str(item.fspath)) in FAST_FILES:
+            item.add_marker(pytest.mark.fast)
     if config.getoption("--run-slow") or os.environ.get("RUN_SLOW") == "1":
         return
     skip = pytest.mark.skip(reason="slow: opt in with --run-slow / RUN_SLOW=1")
