@@ -169,6 +169,13 @@ def convert_controlnet(sd: Dict[str, np.ndarray]) -> dict:
     return state_dict_to_tree(sd)
 
 
+def convert_t2i_adapter(sd: Dict[str, np.ndarray]) -> dict:
+    """diffusers T2IAdapter (full_adapter, SD1.5) -> models.adapter tree
+    (``adapter.conv_in`` / ``adapter.body.{i}.in_conv`` /
+    ``adapter.body.{i}.resnets.{j}.block1|block2``)."""
+    return state_dict_to_tree(sd)
+
+
 def convert_vae(sd: Dict[str, np.ndarray]) -> dict:
     """diffusers AutoencoderKL -> models.vae tree (quant convs live inside
     encoder/decoder here)."""

@@ -42,7 +42,11 @@ class CrossAttnDownBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, context, add_samples: Taps = None,
-                 ip_context=None, ip_scale=1.0):
+                 ip_context=None, ip_scale=1.0, extra_residual=None):
+        """``extra_residual``: T2I-Adapter intrablock feature, added after
+        the LAST (resnet, attention) pair — before the BrushNet tap and
+        before the skip is recorded (reference unet_2d_blocks.py:1385-1392:
+        additional_residuals first, then down_block_add_samples)."""
         skips = []
         it = iter(add_samples) if add_samples is not None else None
         head_dim = self.out_channels // self.num_heads
@@ -57,6 +61,8 @@ class CrossAttnDownBlock2D(nn.Module):
                 self.use_linear_projection, self.dtype, self.param_dtype,
                 name=f"attentions_{i}",
             )(x, context, ip_context, ip_scale)
+            if extra_residual is not None and i == self.num_layers - 1:
+                x = x + extra_residual
             if it is not None:
                 x = x + next(it)
             skips.append(x)

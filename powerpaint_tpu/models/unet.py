@@ -80,6 +80,7 @@ class UNet2DConditionModel(nn.Module):
         up_block_add_samples: Taps = None,  # brushnet, len = sum(up)
         down_block_additional_residuals: Taps = None,  # controlnet (12)
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        down_intrablock_additional_residuals: Taps = None,  # t2i-adapter
         timestep_cond: Optional[jnp.ndarray] = None,
         image_embeds: Optional[jnp.ndarray] = None,  # IP-Adapter (B, ip_dim)
         ip_scale=1.0,
@@ -95,8 +96,9 @@ class UNet2DConditionModel(nn.Module):
         cfg = self.config
         is_brushnet = down_block_add_samples is not None
         is_controlnet = down_block_additional_residuals is not None
+        is_adapter = down_intrablock_additional_residuals is not None
         if encoder_cache is not None or emit_encoder_cache:
-            assert not (is_brushnet or is_controlnet), (
+            assert not (is_brushnet or is_controlnet or is_adapter), (
                 "encoder caching cannot skip injected down features"
             )
 
@@ -145,6 +147,10 @@ class UNet2DConditionModel(nn.Module):
         # 2. conv_in
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+        # T2I-Adapter intrablock features: one tensor per down block,
+        # consumed in order (reference unet_2d_condition.py:1198-1260)
+        adapter_feats = (list(down_intrablock_additional_residuals)
+                         if is_adapter else None)
         if encoder_cache is not None:
             # encoder propagation: reuse key-step encoder features
             x, skips = encoder_cache
@@ -164,7 +170,10 @@ class UNet2DConditionModel(nn.Module):
                 down_taps = list(down_block_add_samples)
                 x = x + down_taps.pop(0)
 
-            # 3. down
+            # 3. down — adapter placement: cross-attn blocks add their
+            # feature INSIDE, after the last resnet+attn pair and before
+            # that skip is recorded; plain blocks add it to the block
+            # OUTPUT, after their skips are recorded
             down_counts = _down_tap_counts(cfg)
             for i, block_type in enumerate(cfg.down_block_types):
                 ch = cfg.block_out_channels[i]
@@ -183,6 +192,7 @@ class UNet2DConditionModel(nn.Module):
                     param_dtype=self.param_dtype,
                 )
                 if block_type == CROSS_ATTN_DOWN:
+                    extra = adapter_feats.pop(0) if adapter_feats else None
                     x, block_skips = CrossAttnDownBlock2D(
                         num_heads=cfg.num_heads,
                         transformer_layers=cfg.transformer_layers_per_block,
@@ -190,11 +200,16 @@ class UNet2DConditionModel(nn.Module):
                         name=f"down_blocks_{i}",
                         **common,
                     )(x, temb, encoder_hidden_states, taps, ip_context,
-                      ip_scale)
+                      ip_scale, extra_residual=extra)
                 else:
                     x, block_skips = DownBlock2D(
                         name=f"down_blocks_{i}", **common
                     )(x, temb, None, taps)
+                    if adapter_feats:
+                        # plain block: add AFTER the block (its recorded
+                        # skips do NOT include the adapter feature —
+                        # reference unet_2d_condition.py:1256-1260)
+                        x = x + adapter_feats.pop(0)
                 # sequence-parallel mode: pin each level's sharding (rows
                 # when divisible, replicated below that) — see
                 # ops.attention.sp_hint for why inference is not enough
@@ -223,6 +238,13 @@ class UNet2DConditionModel(nn.Module):
             )(x, temb)
         else:
             raise ValueError(cfg.mid_block_type)
+
+        # T2I-Adapter-XL style: one leftover feature for the mid block when
+        # its shape matches (reference unet_2d_condition.py:1288-1294);
+        # SD1.5 adapters emit exactly one tensor per down block, so this is
+        # a no-op there
+        if is_adapter and adapter_feats and x.shape == adapter_feats[0].shape:
+            x = x + adapter_feats.pop(0)
 
         if is_controlnet and mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual

@@ -123,12 +123,17 @@ class TorchDownBlock(nn.Module):
             nn.ModuleList([TorchDownsample(cout)]) if add_down else None
         )
 
-    def forward(self, x, temb, ctx, taps=None):
+    def forward(self, x, temb, ctx, taps=None, extra_residual=None):
+        # extra_residual: T2I-Adapter intrablock feature — added after the
+        # LAST resnet+attn pair, BEFORE the brushnet tap and skip record
+        # (reference unet_2d_blocks.py:1385-1392)
         skips = []
         for j, resnet in enumerate(self.resnets):
             x = resnet(x, temb)
             if self.attentions is not None:
                 x = self.attentions[j](x, ctx)
+            if extra_residual is not None and j == len(self.resnets) - 1:
+                x = x + extra_residual
             if taps is not None:
                 x = x + taps.pop(0)
             skips.append(x)
@@ -257,7 +262,8 @@ class TorchMiniUNet(nn.Module):
         return out
 
     def forward(self, sample, timesteps, ctx, *, down_taps=None,
-                mid_tap=None, up_taps=None, cn_down=None, cn_mid=None):
+                mid_tap=None, up_taps=None, cn_down=None, cn_mid=None,
+                intrablock=None):
         temb = self.time_embedding(
             sinusoid(timesteps, self.cfg.block_out_channels[0])
         )
@@ -266,12 +272,26 @@ class TorchMiniUNet(nn.Module):
         if down_taps is not None:
             down_taps = list(down_taps)
             x = x + down_taps.pop(0)
+        intrablock = list(intrablock) if intrablock is not None else None
         for blk in self.down_blocks:
-            x, s = blk(x, temb, ctx, taps=down_taps)
+            if blk.attentions is not None:
+                extra = intrablock.pop(0) if intrablock else None
+                x, s = blk(x, temb, ctx, taps=down_taps,
+                           extra_residual=extra)
+            else:
+                # plain block: adapter feature added AFTER the block,
+                # skips unchanged (reference unet_2d_condition.py:1256-1260)
+                x, s = blk(x, temb, ctx, taps=down_taps)
+                if intrablock:
+                    x = x + intrablock.pop(0)
             skips += s
         if cn_down is not None:
             skips = [s + r for s, r in zip(skips, cn_down)]
         x = self.mid_block(x, temb, ctx)
+        # T2I-Adapter-XL: leftover feature for the mid block when shapes
+        # match (reference unet_2d_condition.py:1288-1294)
+        if intrablock and x.shape == intrablock[0].shape:
+            x = x + intrablock.pop(0)
         if cn_mid is not None:
             x = x + cn_mid
         if mid_tap is not None:
