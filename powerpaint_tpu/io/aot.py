@@ -261,12 +261,17 @@ class AotPipelineMixin:
         im2col run must never execute a cached bf16 executable)."""
         import os
 
+        # int8 appended ONLY when on: default runs keep the legacy mode
+        # string, so executables dumped before the int8 knob existed stay
+        # loadable (an int8 run still can never serve a cached bf16 file)
+        int8 = os.environ.get("POWERPAINT_INT8", "0")
         return (
             f"quant={getattr(self, 'quantize', None)}"
             f",im2col={os.environ.get('POWERPAINT_CONV_IM2COL', '0')}"
             f",sp={getattr(self, 'sequence_parallel', False)}"
             f",fusednorms={os.environ.get('POWERPAINT_FUSED_NORMS', '0')}"
-            f",rev={KERNEL_REV}"
+            + (f",int8={int8}" if int8 != "0" else "")
+            + f",rev={KERNEL_REV}"
         )
 
     def aot_dump(self, path: str, validate: bool = True):

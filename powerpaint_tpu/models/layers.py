@@ -66,6 +66,28 @@ def _fused_conv_wanted() -> bool:
     return os.environ.get("POWERPAINT_FUSED_CONV", "0") == "1"
 
 
+def _int8_wanted() -> bool:
+    """Opt-in static-scale W8A8 conv (ops/conv_pallas.py::
+    conv3x3_gn_silu_int8): GroupNorm+SiLU+quantize fused into the conv's
+    VMEM slab, int8 MXU dots (2x bf16 rate on v5e), dequant in the
+    epilogue.  The SmoothQuant-style route left open after round 2's
+    dynamic-W8A8 removal (ROADMAP); quality-gated, measured in
+    scripts/perf_int8_conv.py / results_int8_conv.json."""
+    import os
+
+    return os.environ.get("POWERPAINT_INT8", "0") == "1"
+
+
+def _int8_x_scale() -> float:
+    """Static per-tensor activation scale for the post-SiLU slab.  SiLU
+    output is lower-bounded (~-0.28) and GN-normalized, so a global
+    static scale is tight; override per deployment via
+    POWERPAINT_INT8_XSCALE after calibration."""
+    import os
+
+    return float(os.environ.get("POWERPAINT_INT8_XSCALE", "8.0")) / 127.0
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -125,6 +147,20 @@ class Conv2D(nn.Module):
         )
         if gn is not None:
             gamma, beta, groups, eps = gn
+            if fusable and _int8_wanted() and _on_tpu():
+                from powerpaint_tpu.ops.conv_pallas import (
+                    conv3x3_gn_silu_int8,
+                    quantize_weights_int8,
+                )
+
+                # weight quantization is scan-invariant — XLA hoists it
+                # out of the denoise loop, so it costs one pass per CALL,
+                # not per step
+                w_q, w_s = quantize_weights_int8(kernel)
+                return conv3x3_gn_silu_int8(
+                    x.astype(self.dtype), w_q, w_s, gamma, beta, groups,
+                    _int8_x_scale(), eps, bias=bias,
+                )
             if (fusable and _fused_conv_wanted() and _on_tpu()
                     and _igemm_profitable(x.shape[1], x.shape[2],
                                           x.shape[3])):

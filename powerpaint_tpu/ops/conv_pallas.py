@@ -234,3 +234,191 @@ def conv3x3_gn_silu(x: jax.Array, w: jax.Array, gamma: jax.Array,
     return _conv_call(xp, w, b, h, wd, cp_, cout, th, tn,
                       gn_args=(mean, rstd, gb, bt), bias=bias,
                       interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# static-scale int8 variants (SmoothQuant-style W8A8)
+#
+# The one quantization route left open after round 2's dynamic-W8A8 removal
+# (ROADMAP "int8 W8A8 removed"): STATIC per-tensor activation scale
+# (calibrated offline, a compile-time constant — no absmax sweeps over HBM)
+# + per-output-channel int8 weights, with the activation quantization fused
+# into the conv's VMEM slab residency and the dequant (acc_i32 *
+# x_scale*w_scale[oc]) fused into the epilogue.  MXU int8 rate on v5e is
+# 2x bf16; the HBM weight stream halves.
+# ---------------------------------------------------------------------------
+
+
+def quantize_weights_int8(w: jax.Array):
+    """Per-output-channel symmetric int8: returns (w_q int8, scale f32
+    (Cout,)) with w ~= w_q * scale."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+def _int8_taps(slab_i8, w_ref, th, tw, cin, tn):
+    acc = jnp.zeros((th * tw, tn), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = slab_i8[dy:dy + th, dx:dx + tw, :].reshape(th * tw, cin)
+            acc = acc + jnp.dot(xs, w_ref[dy, dx],
+                                preferred_element_type=jnp.int32)
+    return acc
+
+
+def _int8_kernel(x_hbm, w_ref, scale_ref, *rest, th, tw, cin, tn,
+                 inv_x_scale, x_scale, bias):
+    if bias:
+        bias_ref, out_ref, x_vmem, sem = rest
+    else:
+        (out_ref, x_vmem, sem), bias_ref = rest, None
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(i * th, th + 2)], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    xq = jnp.clip(
+        jnp.round(x_vmem[:].astype(jnp.float32) * inv_x_scale),
+        -127, 127,
+    ).astype(jnp.int8)
+    acc = _int8_taps(xq, w_ref, th, tw, cin, tn).astype(jnp.float32)
+    acc = acc * (scale_ref[0] * x_scale)
+    if bias_ref is not None:
+        acc = acc + bias_ref[0]
+    out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
+
+
+def _int8_fused_kernel(x_hbm, w_ref, scale_ref, mean_ref, rstd_ref,
+                       gamma_ref, beta_ref, *rest, th, tw, cin, tn, h,
+                       inv_x_scale, x_scale, bias):
+    if bias:
+        bias_ref, out_ref, x_vmem, sem = rest
+    else:
+        (out_ref, x_vmem, sem), bias_ref = rest, None
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bb, pl.ds(i * th, th + 2)], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    x = x_vmem[:].astype(jnp.float32)
+    scale = rstd_ref[0, 0] * gamma_ref[0, 0]
+    y = (x - mean_ref[0, 0]) * scale + beta_ref[0, 0]
+    y = y * jax.nn.sigmoid(y)
+    wp = _padded_w(tw)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wp, 1), 1)
+    rows = rows + i * th
+    interior = ((rows >= 1) & (rows <= h) & (cols >= 1) & (cols <= tw))
+    y = jnp.where(interior, y, 0.0)  # 0 quantizes to 0 (symmetric)
+    xq = jnp.clip(jnp.round(y * inv_x_scale), -127, 127).astype(jnp.int8)
+    acc = _int8_taps(xq, w_ref, th, tw, cin, tn).astype(jnp.float32)
+    acc = acc * (scale_ref[0] * x_scale)
+    if bias_ref is not None:
+        acc = acc + bias_ref[0]
+    out_ref[0] = acc.astype(out_ref.dtype).reshape(th, tw, tn)
+
+
+def _int8_conv_call(xp, w_q, w_scale, b, h, wd, cin, cout, th, tn,
+                    x_scale, gn_args=None, bias=None, out_dtype=jnp.bfloat16,
+                    interpret=False):
+    wp = _padded_w(wd)
+    grid = (b, h // th, cout // tn)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((3, 3, cin, tn), lambda bb, i, j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda bb, i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    kw = dict(th=th, tw=wd, cin=cin, tn=tn,
+              inv_x_scale=float(1.0 / x_scale), x_scale=float(x_scale),
+              bias=bias is not None)
+    if gn_args is not None:
+        in_specs += [
+            pl.BlockSpec((1, 1, cin), lambda bb, i, j: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        gn_args = tuple(a[:, None, :] for a in gn_args)
+        kernel = functools.partial(_int8_fused_kernel, h=h, **kw)
+    else:
+        kernel = functools.partial(_int8_kernel, **kw)
+        gn_args = ()
+    extra = ()
+    if bias is not None:
+        in_specs += [pl.BlockSpec((1, tn), lambda bb, i, j: (0, j),
+                                  memory_space=pltpu.VMEM)]
+        extra = (bias.astype(jnp.float32)[None],)
+    flops = 2 * b * h * wd * 9 * cin * cout
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, wd, tn),
+                               lambda bb, i, j: (bb, i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wp, cin), xp.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(b * h * wd * 2 * (cin + cout)
+                            + 9 * cin * cout),
+            transcendentals=b * h * wd * cin if gn_args else 0,
+        ),
+        interpret=interpret,
+    )(xp, w_q, w_scale[None].astype(jnp.float32), *gn_args, *extra)
+
+
+def conv3x3_int8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                 x_scale: float, bias: jax.Array | None = None,
+                 interpret: bool = False) -> jax.Array:
+    """Implicit-GEMM conv with int8 MXU dots: activations quantized
+    in-kernel with the STATIC per-tensor ``x_scale``, weights
+    per-output-channel int8 (``quantize_weights_int8``), dequant fused
+    into the epilogue."""
+    b, h, wd, cin = x.shape
+    cout = w_q.shape[-1]
+    th, tn = _pick_tiles(b, h, wd, cin, cout)
+    wp = _padded_w(wd)
+    cp_ = _padded_c(cin)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp_ - cin)))
+    w_q = jnp.pad(w_q, ((0, 0), (0, 0), (0, cp_ - cin), (0, 0)))
+    return _int8_conv_call(xp, w_q, w_scale, b, h, wd, cp_, cout, th, tn,
+                           x_scale, bias=bias, out_dtype=x.dtype,
+                           interpret=interpret)
+
+
+def conv3x3_gn_silu_int8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
+                         gamma: jax.Array, beta: jax.Array, groups: int,
+                         x_scale: float, eps: float = 1e-5,
+                         bias: jax.Array | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """conv3x3_int8(quantize(silu(groupnorm(x)))) — the full fused form:
+    normalize + SiLU + quantize ride the slab load, int8 dots on the MXU,
+    dequant + bias in the epilogue.  ``x_scale`` calibrates the POST-SiLU
+    activation range (SiLU output is lower-bounded at ~-0.28, so a static
+    scale is tight — the SmoothQuant argument for post-activation
+    quantization)."""
+    b, h, wd, cin = x.shape
+    cout = w_q.shape[-1]
+    th, tn = _pick_tiles(b, h, wd, cin, cout)
+    mean, rstd = gn_stats(x, groups, eps)
+    gb = jnp.broadcast_to(gamma.astype(jnp.float32)[None], (b, cin))
+    bt = jnp.broadcast_to(beta.astype(jnp.float32)[None], (b, cin))
+    wp = _padded_w(wd)
+    cp_ = _padded_c(cin)
+    pc = ((0, 0), (0, cp_ - cin))
+    mean, rstd = jnp.pad(mean, pc), jnp.pad(rstd, pc)
+    gb, bt = jnp.pad(gb, pc), jnp.pad(bt, pc)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, cp_ - cin)))
+    w_q = jnp.pad(w_q, ((0, 0), (0, 0), (0, cp_ - cin), (0, 0)))
+    return _int8_conv_call(xp, w_q, w_scale, b, h, wd, cp_, cout, th, tn,
+                           x_scale, gn_args=(mean, rstd, gb, bt), bias=bias,
+                           out_dtype=x.dtype, interpret=interpret)

@@ -74,6 +74,73 @@ def test_fused_gn_silu_conv_matches_chain(shape, use_bias):
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
 
 
+def _fake_quant_ref(x, w, x_scale, bias=None):
+    """Reference for the int8 path: fake-quantize activations and weights
+    in f32, exact conv — the Pallas kernel must match this bit-for-bit up
+    to accumulation order (int8 dots are exact in int32)."""
+    from powerpaint_tpu.ops.conv_pallas import quantize_weights_int8
+
+    w_q, w_s = quantize_weights_int8(w)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127)
+    y = jax.lax.conv_general_dilated(
+        xq, w_q.astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * (w_s * x_scale)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_conv3x3_int8_matches_fake_quant(shape, use_bias):
+    from powerpaint_tpu.ops.conv_pallas import (
+        conv3x3_int8,
+        quantize_weights_int8,
+    )
+
+    b, h, w, cin, cout = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, cin), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                           jnp.float32) / np.sqrt(9 * cin)
+    bias = (jax.random.normal(jax.random.PRNGKey(2), (cout,), jnp.float32)
+            if use_bias else None)
+    x_scale = float(np.abs(np.asarray(x)).max()) / 127.0
+    w_q, w_s = quantize_weights_int8(wt)
+    ref = np.asarray(_fake_quant_ref(x, wt, x_scale, bias))
+    got = np.asarray(conv3x3_int8(x, w_q, w_s, x_scale, bias=bias,
+                                  interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # quantization error itself is small: int8 conv vs exact f32 conv
+    exact = np.asarray(_xla_conv(x, wt, bias))
+    rel = np.abs(got - exact).mean() / (np.abs(exact).mean() + 1e-8)
+    assert rel < 0.02, f"int8 quantization error too large: {rel}"
+
+
+def test_conv3x3_gn_silu_int8_matches_fake_quant():
+    from powerpaint_tpu.ops.conv_pallas import (
+        conv3x3_gn_silu_int8,
+        quantize_weights_int8,
+    )
+
+    b, h, w, cin, cout = 2, 8, 8, 64, 128
+    groups = 16
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, h, w, cin), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(4), (3, 3, cin, cout),
+                           jnp.float32) / np.sqrt(9 * cin)
+    gamma = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(5), (cin,))
+    beta = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (cin,))
+    act = _gn_silu(x, gamma, beta, groups)
+    x_scale = float(np.abs(np.asarray(act)).max()) / 127.0
+    w_q, w_s = quantize_weights_int8(wt)
+    ref = np.asarray(_fake_quant_ref(act, wt, x_scale))
+    got = np.asarray(conv3x3_gn_silu_int8(
+        x, w_q, w_s, gamma, beta, groups, x_scale, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
 def test_resnet_gn_prologue_rewire_is_exact():
     """ResnetBlock2D now routes GroupNorm+SiLU through Conv2D's gn=
     prologue; with the fused kernel off (default / non-TPU) the output and
