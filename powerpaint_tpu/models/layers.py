@@ -150,17 +150,20 @@ class Conv2D(nn.Module):
             if fusable and _int8_wanted() and _on_tpu():
                 from powerpaint_tpu.ops.conv_pallas import (
                     conv3x3_gn_silu_int8,
+                    int8_fused_feasible,
                     quantize_weights_int8,
                 )
 
-                # weight quantization is scan-invariant — XLA hoists it
-                # out of the denoise loop, so it costs one pass per CALL,
-                # not per step
-                w_q, w_s = quantize_weights_int8(kernel)
-                return conv3x3_gn_silu_int8(
-                    x.astype(self.dtype), w_q, w_s, gamma, beta, groups,
-                    _int8_x_scale(), eps, bias=bias,
-                )
+                if int8_fused_feasible(x.shape[0], x.shape[1], x.shape[2],
+                                       x.shape[3], self.features):
+                    # weight quantization is scan-invariant — XLA hoists
+                    # it out of the denoise loop, so it costs one pass per
+                    # CALL, not per step
+                    w_q, w_s = quantize_weights_int8(kernel)
+                    return conv3x3_gn_silu_int8(
+                        x.astype(self.dtype), w_q, w_s, gamma, beta,
+                        groups, _int8_x_scale(), eps, bias=bias,
+                    )
             if (fusable and _fused_conv_wanted() and _on_tpu()
                     and _igemm_profitable(x.shape[1], x.shape[2],
                                           x.shape[3])):

@@ -376,6 +376,32 @@ def _int8_conv_call(xp, w_q, w_scale, b, h, wd, cin, cout, th, tn,
     )(xp, w_q, w_scale[None].astype(jnp.float32), *gn_args, *extra)
 
 
+def int8_fused_feasible(b: int, h: int, w: int, cin: int, cout: int) -> bool:
+    """Scoped-VMEM feasibility gate for ``conv3x3_gn_silu_int8``.
+
+    ``_pick_tiles`` budgets only the bf16 slab, but the fused prologue
+    materializes f32 temps of the slab (normalize input/output, the
+    masked where, the int8 copy) that Mosaic allocates on the scoped-VMEM
+    stack — measured compile OOM at the VAE's 512x512x128 sites (23.4 MB
+    vs the 20.5 MB stack limit).  Back-solving that one measured point
+    (th=16, wp=520, cp=128 → 1.2M slab elements carrying ~23.4 MB minus
+    the 6.4 MB acc/out/weights) gives ~14 stack bytes per slab element;
+    model it at 15 = 2 (bf16) + 3x4 (f32 temps) + 1 (int8) and require
+    <= 20 MB.  The model then puts the OOM shape at 24.4 MB (rejected)
+    and the micro-proven 64x64x320 winner at 19.1 MB (admitted) — the
+    true limit sits between.  Keeps all measured-winner UNet latent
+    levels (64x64x320, 32x32x640/1280, 16x16, 8x8) and rejects the
+    512^2/128^2 VAE shapes and the wide concat rows whose temps also
+    OOM'd the bf16 fused path (see _igemm_profitable)."""
+    th, tn = _pick_tiles(b, h, w, cin, cout)
+    wp, cp = _padded_w(w), _padded_c(cin)
+    use = ((th + 2) * wp * cp * 15  # slab bf16 + f32 prologue temps + int8
+           + 9 * cp * tn            # int8 weights
+           + th * w * tn * 4        # f32 accumulator
+           + th * w * tn * 2)       # out block
+    return use <= 20 * 1024 * 1024
+
+
 def conv3x3_int8(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                  x_scale: float, bias: jax.Array | None = None,
                  interpret: bool = False) -> jax.Array:

@@ -90,6 +90,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def main() -> None:
     import jax
 
+    # same persistent compile cache as bench.py — repeat runs skip compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     assert jax.devices()[0].platform == "tpu", "run this on the TPU"
     rng = np.random.RandomState(0)
     image = (rng.rand(512, 512, 3) * 255).astype(np.uint8)

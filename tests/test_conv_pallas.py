@@ -184,3 +184,22 @@ def test_resnet_gn_prologue_rewire_is_exact():
         ) + cp["bias"]
 
     np.testing.assert_array_equal(np.asarray(out), np.asarray(chain(x)))
+
+
+def test_int8_fused_feasible_gate():
+    """The VMEM gate admits the measured-winner UNet latent levels and
+    rejects the VAE 512^2/128^2 sites (measured compile OOM: 23.4 MB
+    scoped allocation vs the 20.5 MB stack limit at 512x512x128) and the
+    1920-ch concat rows that also OOM'd the bf16 fused path."""
+    from powerpaint_tpu.ops.conv_pallas import int8_fused_feasible
+
+    # measured winners (scripts/results_int8_conv.json)
+    assert int8_fused_feasible(2, 64, 64, 320, 320)
+    assert int8_fused_feasible(2, 32, 32, 640, 640)
+    assert int8_fused_feasible(2, 16, 16, 1280, 1280)
+    assert int8_fused_feasible(2, 8, 8, 1280, 1280)
+    # measured OOM: VAE encoder/decoder spatial sites
+    assert not int8_fused_feasible(1, 512, 512, 128, 128)
+    assert not int8_fused_feasible(1, 128, 128, 256, 256)
+    # wide concat rows (bf16 fused path OOM class, _igemm_profitable)
+    assert not int8_fused_feasible(2, 32, 32, 1920, 640)
