@@ -67,6 +67,14 @@ def main() -> None:
     )
 
     platform = jax.devices()[0].platform
+    # pre-flight fence: one tiny op + host fetch BEFORE anything is timed.
+    # On the remote-TPU tunnel the first real execution can stall for
+    # minutes waiting out a wedged claim from a previous process (observed
+    # 1399 s in an otherwise fully AOT-warm run); absorbing that here and
+    # reporting it separately keeps compile_s meaning "compile".
+    t0 = time.time()
+    np.asarray(jnp.zeros((8,), jnp.float32))
+    preflight_s = time.time() - t0
     which = os.environ.get("POWERPAINT_BENCH_PIPELINE", "v1")
     if which == "v2":
         from powerpaint_tpu.core.config import ppt_v2_config
@@ -120,8 +128,11 @@ def main() -> None:
         try:
             aot_sig = pipe.aot_load(aot_path)
             aot_loaded = True
-        except Exception:
-            pass
+        except Exception as e:
+            # loud: a swallowed load failure here is a silent multi-minute
+            # compile the operator thought the AOT cache had eliminated
+            print(f"bench: aot_load({aot_path}) failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
     # the 10-step executable (slope measurement) is a different program —
     # cache it separately or every bench run pays its compile
     aot10_path = aot_path.replace(".aot", "_s10.aot")
@@ -131,8 +142,9 @@ def main() -> None:
         try:
             aot10_sig = pipe.aot_load(aot10_path)
             aot10_loaded = True
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"bench: aot_load({aot10_path}) failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
 
     # warmup / compile (two step counts -> two executables)
     t0 = time.time()
@@ -175,12 +187,15 @@ def main() -> None:
             ts.append(time.time() - t0)
         return ts
 
-    # marginal denoise-step latency: paired (20-step, 10-step) slope
-    # samples — >=5 samples, outliers beyond 1.5x the raw median rejected,
-    # headline is the MEDIAN of the survivors (a slope estimate, not a
-    # sampled per-step percentile); the full sample list + spread ship in
-    # the extras so a straggler (host jitter on the remote tunnel) is
-    # visible instead of silently widening the headline
+    # marginal denoise-step latency: (20-step, 10-step) total-time slope.
+    # Headline = (min(ts20) - min(ts10)) / 10: the min over >=5 samples
+    # filters the relay's additive host-jitter (~0.1 s fixed overhead with
+    # 10s-of-ms variance, amplified 100x/step by the subtraction) from
+    # BOTH totals — it reproduces 17.3-17.4 ms across rounds where
+    # per-index pairing swung 12-33 ms (BENCH_r04 33.3 outlier, r5 builder
+    # spread 12.4-27.2).  The per-index paired samples + spread +
+    # outlier-rejected median still ship in the extras so jitter is
+    # visible instead of silently widening the headline.
     N_SLOPE = 5
     ts20 = timed(20, n=N_SLOPE)
     ts10 = timed(10, n=N_SLOPE)
@@ -190,7 +205,8 @@ def main() -> None:
     )
     raw_median = slopes_ms[len(slopes_ms) // 2]
     kept = [s for s in slopes_ms if s <= 1.5 * raw_median] or slopes_ms
-    per_step_ms = kept[len(kept) // 2]
+    slope_median_ms = kept[len(kept) // 2]
+    per_step_ms = (t20 - t10) / 10.0 * 1000.0
     slope_spread_ms = slopes_ms[-1] - slopes_ms[0]
     imgs_per_sec = 1.0 / t20
 
@@ -407,9 +423,11 @@ def main() -> None:
             "t_total_20step_s": round(t20, 4),
             "t_total_10step_s": round(t10, 4),
             "step_latency_slope_ms": round(per_step_ms, 2),
+            "slope_median_ms": round(slope_median_ms, 2),
             "slope_samples_ms": [round(s, 2) for s in slopes_ms],
             "slope_spread_ms": round(slope_spread_ms, 2),
             "compile_s": round(compile_20 + compile_10, 1),
+            "preflight_s": round(preflight_s, 1),
             "sustained_imgs_per_sec": round(sustained, 4),
             "aot_warm": aot_loaded,
             "batch": 1,
