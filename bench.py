@@ -134,8 +134,15 @@ def main() -> None:
             print(f"bench: aot_load({aot_path}) failed: "
                   f"{type(e).__name__}: {e}", flush=True)
     # the 10-step executable (slope measurement) is a different program —
-    # cache it separately or every bench run pays its compile
-    aot10_path = aot_path.replace(".aot", "_s10.aot")
+    # cache it separately or every bench run pays its compile.  NOTE: the
+    # suffix must be spliced, not str.replace'd — the ".aot" DIRECTORY
+    # component also matches, and `.replace` rewrites every occurrence:
+    # since round 4 this silently pointed at a nonexistent `_s10.aot/`
+    # dir, so the sweep-dumped s10 executables in `.aot/` were never
+    # found and every driver bench paid the ~180 s s10 compile (the
+    # BENCH_r04 `compile_s: 234` mystery), while aot_redump repopulated
+    # the rogue dir.
+    aot10_path = aot_path[:-len(".aot")] + "_s10.aot"
     aot10_loaded = False
     aot10_sig = None
     if platform == "tpu" and os.path.exists(aot10_path):
@@ -509,12 +516,45 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
     for p in pend:
         p.result()
     sustained = 4 / (time.time() - t0)
-    return {
+    out = {
         f"{which}_imgs_per_sec": round(1.0 / t, 4),
         f"{which}_t_total_20step_s": round(t, 4),
         f"{which}_sustained_imgs_per_sec": round(sustained, 4),
         f"{which}_aot_warm": warm,
     }
+    # marginal step slope (min-difference, as the headline pipeline's):
+    # only attempted when the 10-step executable is already cached, so the
+    # extras never buy a fresh multi-minute compile for a secondary metric
+    s10_path = aot_path[:-len(".aot")] + "_s10.aot"  # splice, see aot10_path
+    if os.path.exists(s10_path):
+        s10_warm, s10_sig = False, None
+        try:
+            s10_sig = pipe.aot_load(s10_path)
+            s10_warm = True
+        except Exception as e:
+            print(f"bench: aot_load({s10_path}) failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+        if s10_warm:
+            def run10(seed=0):
+                return pipe(image, mask, prompt="a red sports car",
+                            seed=seed, num_inference_steps=10)
+
+            t0 = time.time()
+            run10()
+            pre10 = s10_warm
+            s10_warm = pipe.aot_repair_stale(s10_sig, s10_path, s10_warm)
+            _aot_note(f"{which}_b1_s10", pre10, s10_warm,
+                      time.time() - t0)
+            if not s10_warm:
+                pipe.aot_redump(s10_path)
+            ts10 = []
+            for i in range(3):
+                t0 = time.time()
+                run10(seed=i)
+                ts10.append(time.time() - t0)
+            out[f"{which}_step_latency_slope_ms"] = round(
+                (t - min(ts10)) / 10.0 * 1000.0, 2)
+    return out
 
 
 def _bench_batch(which: str, bsz: int, aot_path: str, image, mask) -> dict:
