@@ -203,7 +203,7 @@ def main() -> None:
     # spread 12.4-27.2).  The per-index paired samples + spread +
     # outlier-rejected median still ship in the extras so jitter is
     # visible instead of silently widening the headline.
-    N_SLOPE = 5
+    N_SLOPE = 7  # ~1 s/sample AOT-warm; more samples stabilize the mins
     ts20 = timed(20, n=N_SLOPE)
     ts10 = timed(10, n=N_SLOPE)
     t20, t10 = min(ts20), min(ts10)
