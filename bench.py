@@ -697,12 +697,44 @@ def _bench_cn(aot_path: str, image, mask) -> dict:
     for p in pend:
         p.result()
     sustained = K / (time.time() - t0)
-    return {
+    out = {
         "cn_imgs_per_sec": round(1.0 / t, 4),
         "cn_t_total_20step_s": round(t, 4),
         "cn_pipelined_imgs_per_sec": round(sustained, 4),
         "cn_aot_warm": warm,
     }
+    # step slope, only when the 10-step executable is cached (as
+    # _bench_other — never buy a compile for a secondary metric)
+    s10_path = aot_path[:-len(".aot")] + "_s10.aot"
+    if os.path.exists(s10_path):
+        s10_warm, s10_sig = False, None
+        try:
+            s10_sig = pipe.aot_load(s10_path)
+            s10_warm = True
+        except Exception as e:
+            print(f"bench: aot_load({s10_path}) failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+        if s10_warm:
+            def run10(seed=0):
+                return pipe(image, mask, control_image=control,
+                            prompt="a red sports car", seed=seed,
+                            num_inference_steps=10)
+
+            t0 = time.time()
+            run10()
+            pre10 = s10_warm
+            s10_warm = pipe.aot_repair_stale(s10_sig, s10_path, s10_warm)
+            _aot_note("cn_b1_s10", pre10, s10_warm, time.time() - t0)
+            if not s10_warm:
+                pipe.aot_redump(s10_path)
+            ts10 = []
+            for i in range(3):
+                t0 = time.time()
+                run10(seed=i)
+                ts10.append(time.time() - t0)
+            out["cn_step_latency_slope_ms"] = round(
+                (t - min(ts10)) / 10.0 * 1000.0, 2)
+    return out
 
 
 def _bench_lcm(aot_path: str, image, mask, bsz: int = 1) -> dict:

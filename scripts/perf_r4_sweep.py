@@ -195,7 +195,8 @@ def warm_s10(image, mask, which: str) -> dict:
     runs with the persistent XLA cache enabled, and XLA cannot re-serialize
     an executable restored from that cache — only this script's
     fresh-compile process can produce the file."""
-    pipe = _build(which)
+    pipe = _build_cn() if which == "cn" else _build(which)
+    extra = {"control_image": _cn_control()} if which == "cn" else {}
     aot_path = os.path.join(AOT_DIR, f"ppt_{which}_512_b1_s10.aot")
     warm = False
     sig = None
@@ -208,7 +209,7 @@ def warm_s10(image, mask, which: str) -> dict:
 
     def run(seed=0):
         return pipe(image, mask, prompt="a red sports car", seed=seed,
-                    num_inference_steps=10)
+                    num_inference_steps=10, **extra)
 
     t0 = time.time()
     run()
@@ -229,8 +230,7 @@ def warm_s10(image, mask, which: str) -> dict:
     }
 
 
-def warm_cn(image, mask) -> dict:
-    """v1+ControlNet batch-1: compile, dump ppt_cn_512_b1.aot, measure."""
+def _build_cn():
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +249,18 @@ def warm_cn(image, mask) -> dict:
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     tok = TokenizerWrapper(HashTokenizer())
     add_task_tokens(tok)
-    pipe = ControlNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+    return ControlNetPipeline(cfg, params, tok, dtype=jnp.bfloat16)
+
+
+def _cn_control():
+    control = np.zeros((512, 512, 3), np.uint8)
+    control[::8, :, :] = 255  # synthetic canny-like edge map (as bench.py)
+    return control
+
+
+def warm_cn(image, mask) -> dict:
+    """v1+ControlNet batch-1: compile, dump ppt_cn_512_b1.aot, measure."""
+    pipe = _build_cn()
     aot_path = os.path.join(AOT_DIR, "ppt_cn_512_b1.aot")
     warm = False
     sig = None
@@ -259,8 +270,7 @@ def warm_cn(image, mask) -> dict:
             warm = True
         except Exception:
             pass
-    control = np.zeros((512, 512, 3), np.uint8)
-    control[::8, :, :] = 255
+    control = _cn_control()
 
     def run(seed=0):
         return pipe(image, mask, control_image=control,
@@ -333,8 +343,8 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         rows.append(row)
     elif which == "s10":
-        # 10-step slope executables for both headline pipelines
-        for w in ("v1", "v2"):
+        # 10-step slope executables for all three serving pipelines
+        for w in ("v1", "v2", "cn"):
             row = warm_s10(image, mask, w)
             print(json.dumps(row), flush=True)
             rows.append(row)
