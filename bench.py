@@ -42,6 +42,17 @@ def _aot_extras() -> dict:
     }
 
 
+def _s10_path(aot_path: str) -> str:
+    """``<name>.aot`` -> ``<name>_s10.aot`` by suffix splice.  MUST NOT be
+    a str.replace: the ``.aot/`` cache DIRECTORY component also matches
+    and replace rewrites every occurrence — that bug made bench look in a
+    nonexistent ``_s10.aot/`` dir for a full round, so every driver run
+    paid the ~180 s slope-executable compile (BENCH_r04 compile_s 234).
+    Pinned by tests/test_aot.py::test_bench_s10_path_splice."""
+    assert aot_path.endswith(".aot"), aot_path
+    return aot_path[:-len(".aot")] + "_s10.aot"
+
+
 def main() -> None:
     import jax
 
@@ -134,15 +145,8 @@ def main() -> None:
             print(f"bench: aot_load({aot_path}) failed: "
                   f"{type(e).__name__}: {e}", flush=True)
     # the 10-step executable (slope measurement) is a different program —
-    # cache it separately or every bench run pays its compile.  NOTE: the
-    # suffix must be spliced, not str.replace'd — the ".aot" DIRECTORY
-    # component also matches, and `.replace` rewrites every occurrence:
-    # since round 4 this silently pointed at a nonexistent `_s10.aot/`
-    # dir, so the sweep-dumped s10 executables in `.aot/` were never
-    # found and every driver bench paid the ~180 s s10 compile (the
-    # BENCH_r04 `compile_s: 234` mystery), while aot_redump repopulated
-    # the rogue dir.
-    aot10_path = aot_path[:-len(".aot")] + "_s10.aot"
+    # cache it separately or every bench run pays its compile
+    aot10_path = _s10_path(aot_path)
     aot10_loaded = False
     aot10_sig = None
     if platform == "tpu" and os.path.exists(aot10_path):
@@ -525,7 +529,7 @@ def _bench_other(which: str, aot_path: str, image, mask) -> dict:
     # marginal step slope (min-difference, as the headline pipeline's):
     # only attempted when the 10-step executable is already cached, so the
     # extras never buy a fresh multi-minute compile for a secondary metric
-    s10_path = aot_path[:-len(".aot")] + "_s10.aot"  # splice, see aot10_path
+    s10_path = _s10_path(aot_path)
     if os.path.exists(s10_path):
         s10_warm, s10_sig = False, None
         try:
@@ -705,7 +709,7 @@ def _bench_cn(aot_path: str, image, mask) -> dict:
     }
     # step slope, only when the 10-step executable is cached (as
     # _bench_other — never buy a compile for a secondary metric)
-    s10_path = aot_path[:-len(".aot")] + "_s10.aot"
+    s10_path = _s10_path(aot_path)
     if os.path.exists(s10_path):
         s10_warm, s10_sig = False, None
         try:

@@ -363,3 +363,21 @@ def test_pipeline_aot_roundtrip(tmp_path):
     pipe2._generate._jitted = None  # any jit fallback would now crash
     out = pipe2(img, mask, prompt="a dog", num_inference_steps=2, seed=3)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_bench_s10_path_splice():
+    """bench._s10_path must splice the suffix, never str.replace: the
+    '.aot/' cache DIRECTORY component also matches '.aot', and a replace
+    rewrote it too — bench then looked for the slope executable in a
+    nonexistent '_s10.aot/' dir for a full round while the real file sat
+    in '.aot/' (the BENCH_r04 compile_s=234 regression)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _s10_path
+
+    assert _s10_path("/root/repo/.aot/ppt_v1_512_b1.aot") == (
+        "/root/repo/.aot/ppt_v1_512_b1_s10.aot")
+    assert _s10_path(".aot/ppt_cn_512_b1.aot") == (
+        ".aot/ppt_cn_512_b1_s10.aot")
